@@ -1,0 +1,261 @@
+"""Input pipeline: numpy batcher + reference-compatible dataset transforms.
+
+Replaces the tf.data pipeline of reference ``utils.py:36-121``. Two deliberate
+TPU-first differences:
+
+- **masks are not added here.** Mask generation is a pure jax function fused
+  into the jitted train/eval step (see :func:`make_prologue`), eliminating the
+  reference's per-batch host ``tf.py_function`` callback
+  (reference masking.py:342).
+- **training noise is also applied on device** in the same prologue
+  (reference utils.py:108-116 adds it in tf.data).
+
+Everything else mirrors the reference transform order: shuffle (train only) ->
+batch (drop remainder) -> /255 rescale for images -> celeb_a center-crop to
+128x128 and resize to 64x64 -> mnist16 resize -> mnist16_flat flatten.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterator, Mapping, Optional, Tuple
+
+import jax
+import numpy as np
+from PIL import Image
+
+from posterior_matching_tpu import masking
+from posterior_matching_tpu.data.sources import load_arrays
+
+
+class ArrayDataset:
+    """A shuffling, batching iterator over in-memory arrays.
+
+    Iterating yields dict batches (one epoch). ``transform`` runs per batch on
+    host numpy (cheap casts only — heavy work belongs on device)."""
+
+    def __init__(
+        self,
+        data: Dict[str, np.ndarray],
+        batch_size: int,
+        shuffle: bool = False,
+        drop_remainder: bool = True,
+        seed: Optional[int] = None,
+        transform: Optional[Callable[[Dict], Dict]] = None,
+    ):
+        n = len(next(iter(data.values())))
+        for k, v in data.items():
+            assert len(v) == n, f"ragged dataset field {k}"
+        self._data = data
+        self._n = n
+        self._batch_size = batch_size
+        self._shuffle = shuffle
+        self._drop_remainder = drop_remainder
+        self._rng = np.random.RandomState(seed)
+        self._transform = transform
+
+    @property
+    def batch_size(self) -> int:
+        return self._batch_size
+
+    @property
+    def num_examples(self) -> int:
+        return self._n
+
+    def cardinality(self) -> int:
+        if self._drop_remainder:
+            return self._n // self._batch_size
+        return -(-self._n // self._batch_size)
+
+    @property
+    def element_spec(self) -> Dict[str, Tuple]:
+        out = {}
+        for k, v in self._data.items():
+            sample = {k: v[:1] for k, v in self._data.items()}
+            if self._transform:
+                sample = self._transform(sample)
+            out = {
+                k2: (tuple([self._batch_size, *v2.shape[1:]]), v2.dtype)
+                for k2, v2 in sample.items()
+            }
+            break
+        return out
+
+    def rebatch(self, batch_size: int) -> "ArrayDataset":
+        return ArrayDataset(
+            self._data,
+            batch_size,
+            shuffle=self._shuffle,
+            drop_remainder=self._drop_remainder,
+            seed=self._rng.randint(2**31),
+            transform=self._transform,
+        )
+
+    def take(self, n: int) -> "ArrayDataset":
+        return ArrayDataset(
+            {k: v[:n] for k, v in self._data.items()},
+            self._batch_size,
+            shuffle=self._shuffle,
+            drop_remainder=self._drop_remainder,
+            seed=self._rng.randint(2**31),
+            transform=self._transform,
+        )
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = np.arange(self._n)
+        if self._shuffle:
+            self._rng.shuffle(idx)
+        stop = (
+            self._n - self._batch_size + 1 if self._drop_remainder else self._n
+        )
+        for start in range(0, max(stop, 0), self._batch_size):
+            sel = idx[start : start + self._batch_size]
+            batch = {k: v[sel] for k, v in self._data.items()}
+            if self._transform:
+                batch = self._transform(batch)
+            yield batch
+
+    def as_numpy_iterator(self):
+        return iter(self)
+
+
+def _resize_batch(images: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Bilinear resize on host (PIL), matching tf.image.resize defaults
+    closely enough for training pipelines."""
+    h, w = size
+    out = np.zeros((len(images), h, w, images.shape[-1]), np.float32)
+    for i, img in enumerate(images):
+        if img.shape[-1] == 1:
+            pil = Image.fromarray(img[..., 0].astype(np.float32), mode="F")
+            out[i, ..., 0] = np.asarray(pil.resize((w, h), Image.BILINEAR))
+        else:
+            for c in range(img.shape[-1]):
+                pil = Image.fromarray(img[..., c].astype(np.float32), mode="F")
+                out[i, ..., c] = np.asarray(pil.resize((w, h), Image.BILINEAR))
+    return out
+
+
+def _prepare_image_arrays(
+    dataset: str, arrays: Dict[str, np.ndarray]
+) -> Dict[str, np.ndarray]:
+    """One-time spatial transforms (celeb_a crop/resize, reference
+    utils.py:68-77), applied on uint8 arrays at load."""
+    if dataset == "celeb_a":
+        img = arrays["image"][:, 45:-45, 25:-25, :].astype(np.float32)
+        img = _resize_batch(img, (64, 64))
+        return {"image": img.astype(np.float32)}
+    return arrays
+
+
+def _make_batch_transform(
+    dataset: str, normalize_images: bool
+) -> Callable[[Dict], Dict]:
+    def transform(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        out = dict(batch)
+        out.pop("id", None)
+        if "image" in out:
+            img = out["image"].astype(np.float32)
+            if normalize_images:
+                img = img / 255.0
+            if "mnist16" in dataset:
+                img = _resize_batch(img, (16, 16))
+            out["image"] = img
+        if dataset == "mnist16_flat" and "image" in out:
+            img = out.pop("image")
+            out["features"] = img.reshape(len(img), -1)
+        return out
+
+    return transform
+
+
+def load_datasets(
+    config: Mapping, normalize_images: bool = True
+) -> Tuple[ArrayDataset, ArrayDataset]:
+    """Reference-compatible ``load_datasets`` (reference utils.py:36-121),
+    minus mask/noise injection (handled on device by :func:`make_prologue`)."""
+    dataset = config["dataset"]
+    base = "mnist" if "mnist" in dataset else dataset
+    train_arrays = load_arrays(base, config.get("train_split", "train"))
+    val_arrays = load_arrays(base, config.get("validation_split", "validation"))
+
+    train_arrays = _prepare_image_arrays(dataset, train_arrays)
+    val_arrays = _prepare_image_arrays(dataset, val_arrays)
+
+    transform = _make_batch_transform(dataset, normalize_images)
+
+    train = ArrayDataset(
+        train_arrays,
+        config["train_batch_size"],
+        shuffle=True,
+        drop_remainder=True,
+        seed=config.get("shuffle_seed"),
+        transform=transform,
+    )
+    val = ArrayDataset(
+        val_arrays,
+        config["val_batch_size"],
+        shuffle=False,
+        drop_remainder=True,
+        transform=transform,
+    )
+    return train, val
+
+
+def load_eval_dataset(
+    dataset: str,
+    batch_size: int,
+    num_instances: Optional[int] = None,
+    split: str = "test",
+    normalize_images: bool = True,
+) -> ArrayDataset:
+    """Test-split loader used by the eval scripts (reference
+    eval_pm_vae_uci.py:46-57, eval_pm_vqvae.py:62-99)."""
+    base = "mnist" if "mnist" in dataset else dataset
+    arrays = load_arrays(base, split)
+    if num_instances is not None:
+        arrays = {k: v[:num_instances] for k, v in arrays.items()}
+    arrays = _prepare_image_arrays(dataset, arrays)
+    return ArrayDataset(
+        arrays,
+        batch_size,
+        shuffle=False,
+        drop_remainder=True,
+        transform=_make_batch_transform(dataset, normalize_images),
+    )
+
+
+def make_prologue(config: Mapping) -> Optional[Callable]:
+    """Builds the on-device batch prologue from a data config: mask generation
+    (+ optional gaussian training noise). Returns a pure jax fn
+    ``(batch, key) -> batch`` for Trainer's ``prologue_fn`` — it is traced into
+    the train step, so mask sampling fuses with the model's masking prologue.
+    """
+    mask_fn = None
+    if "mask_generator" in config:
+        kwargs = dict(config.get("mask_generator_kwargs", {}) or {})
+        mask_fn = masking.get_mask_generator(config["mask_generator"], **kwargs)
+    noise_std = config.get("training_noise")
+
+    if mask_fn is None and noise_std is None:
+        return None
+
+    def prologue(batch, key):
+        import jax.numpy as jnp
+
+        k_mask, k_noise = jax.random.split(key)
+        out = dict(batch)
+        if noise_std is not None and "features" in out:
+            out["features"] = out["features"] + noise_std * jax.random.normal(
+                k_noise, out["features"].shape, out["features"].dtype
+            )
+        if mask_fn is not None:
+            out = masking.add_mask(out, k_mask, mask_fn)
+        return out
+
+    return prologue
+
+
+def make_val_prologue(config: Mapping) -> Optional[Callable]:
+    """Same as :func:`make_prologue` but without training noise (the
+    reference adds noise only to the train split, utils.py:108-116)."""
+    cfg = dict(config)
+    cfg.pop("training_noise", None)
+    return make_prologue(cfg)

@@ -1,0 +1,29 @@
+from posterior_matching_tpu.train.callbacks import (
+    Callback,
+    CheckpointCallback,
+    LearningRateLoggerCallback,
+    TensorBoardCallback,
+)
+from posterior_matching_tpu.train.schedules import (
+    cyclical_annealing_schedule,
+    get_beta_schedule,
+)
+from posterior_matching_tpu.train.state import (
+    TrainState,
+    load_train_state,
+    save_train_state,
+)
+from posterior_matching_tpu.train.trainer import Trainer
+
+__all__ = [
+    "Callback",
+    "CheckpointCallback",
+    "LearningRateLoggerCallback",
+    "TensorBoardCallback",
+    "TrainState",
+    "Trainer",
+    "cyclical_annealing_schedule",
+    "get_beta_schedule",
+    "load_train_state",
+    "save_train_state",
+]

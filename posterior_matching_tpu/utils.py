@@ -1,0 +1,70 @@
+"""Small framework utilities: config freezing, run dirs, rng helpers."""
+from __future__ import annotations
+
+import os
+from datetime import datetime
+from typing import Any, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def freeze_config(cfg: Optional[Mapping[str, Any]]) -> Tuple:
+    """Recursively converts a config mapping into a hashable tuple-of-pairs
+    (linen module attributes must be hashable)."""
+    if cfg is None:
+        return ()
+
+    def conv(v):
+        if isinstance(v, Mapping):
+            return freeze_config(v)
+        if isinstance(v, (list, tuple)):
+            return tuple(conv(x) for x in v)
+        return v
+
+    return tuple(sorted((k, conv(v)) for k, v in cfg.items()))
+
+
+def thaw_config(frozen: Tuple) -> dict:
+    """Inverse of :func:`freeze_config` (one level of mapping; nested tuples of
+    pairs are thawed recursively when they look like frozen configs)."""
+
+    def is_frozen_map(v):
+        return (
+            isinstance(v, tuple)
+            and all(
+                isinstance(it, tuple) and len(it) == 2 and isinstance(it[0], str)
+                for it in v
+            )
+            and len(v) > 0
+        )
+
+    def conv(v):
+        if is_frozen_map(v):
+            return thaw_config(v)
+        return v
+
+    return {k: conv(v) for k, v in frozen}
+
+
+def make_run_dir(path: str = "runs", prefix: Optional[str] = None) -> str:
+    """Creates ``runs/<prefix>-<timestamp>/`` (reference utils.py:27-33)."""
+    run_id = datetime.now().strftime("%Y%m%d-%H%M%S")
+    if prefix is not None:
+        run_id = prefix + "-" + run_id
+    run_dir = os.path.join(path, run_id)
+    os.makedirs(run_dir)
+    return run_dir
+
+
+def logmeanexp(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """log(mean(exp(x))) along an axis (tfp ``reduce_logmeanexp``)."""
+    n = x.shape[axis]
+    return jax.scipy.special.logsumexp(x, axis=axis) - jnp.log(float(n))
+
+
+def sum_over_event(x: jnp.ndarray) -> jnp.ndarray:
+    """Reduces everything but the leading batch axis (einops 'b ... -> b')."""
+    if x.ndim <= 1:
+        return x
+    return jnp.sum(x, axis=tuple(range(1, x.ndim)))

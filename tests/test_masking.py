@@ -1,0 +1,162 @@
+"""Distributional-parity tests for on-device mask generators vs the reference
+semantics (reference posterior_matching/masking.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posterior_matching_tpu import masking
+
+
+def test_uniform_mask_counts_distribution():
+    b, d = 2000, 16
+    m = masking.uniform_mask(jax.random.PRNGKey(0), (b, d))
+    m = np.asarray(m)
+    assert m.shape == (b, d)
+    assert set(np.unique(m)).issubset({0.0, 1.0})
+    counts = m.sum(-1)
+    # counts should be ~uniform over {0..d-1}
+    hist = np.bincount(counts.astype(int), minlength=d)
+    assert hist[: d].min() > b / d * 0.5
+    assert counts.max() <= d - 1
+    # given count q, the subset should be uniform: per-position freq ~ mean(q)/d
+    freq = m.mean(0)
+    np.testing.assert_allclose(freq, freq.mean(), atol=0.05)
+
+
+def test_uniform_mask_bounds():
+    b, d = 1000, 20
+    m = np.asarray(
+        masking.uniform_mask(
+            jax.random.PRNGKey(1), (b, d), bounds=(0.2, 0.5)
+        )
+    )
+    counts = m.sum(-1)
+    lo = int(d * 0.2)
+    hi = int(d * 0.5)
+    assert counts.min() >= lo
+    assert counts.max() <= lo + hi - 1
+
+
+def test_bernoulli_mask_rate():
+    m = np.asarray(
+        masking.bernoulli_mask(jax.random.PRNGKey(2), (500, 30), p=0.3)
+    )
+    np.testing.assert_allclose(m.mean(), 0.3, atol=0.02)
+
+
+def test_image_bernoulli_shape():
+    m = masking.image_bernoulli_mask(jax.random.PRNGKey(3), (8, 28, 28, 3))
+    assert m.shape == (8, 28, 28, 1)
+
+
+def test_rectangle_mask_area_bounds():
+    b, h, w = 256, 28, 28
+    m = np.asarray(
+        masking.rectangle_mask(
+            jax.random.PRNGKey(4), (b, h, w, 1), min_prop=0.3, max_prop=1.0
+        )
+    )
+    assert m.shape == (b, h, w, 1)
+    hidden = 1.0 - m
+    areas = hidden.sum((1, 2, 3))
+    assert (areas >= 0.3 * h * w).all()
+    assert (areas <= 1.0 * h * w).all()
+    # each hidden region must be a contiguous rectangle
+    for i in range(10):
+        ys, xs = np.where(hidden[i, :, :, 0] > 0)
+        rect_area = (ys.max() - ys.min() + 1) * (xs.max() - xs.min() + 1)
+        assert rect_area == len(ys)
+
+
+def test_fixed_rectangle_mask():
+    m = np.asarray(
+        masking.fixed_rectangle_mask(
+            jax.random.PRNGKey(5), (4, 28, 28, 1), y1=0, x1=0, y2=28, x2=14
+        )
+    )
+    assert (m[:, :, :14] == 0).all()
+    assert (m[:, :, 14:] == 1).all()
+
+
+def test_square_mask():
+    b, h, w, size = 64, 28, 28, 14
+    m = np.asarray(
+        masking.square_mask(jax.random.PRNGKey(6), (b, h, w, 1), size=size)
+    )
+    hidden = 1.0 - m
+    areas = hidden.sum((1, 2, 3))
+    np.testing.assert_allclose(areas, size * size)
+    # squares should differ across the batch (per-element randomness)
+    assert len(np.unique(hidden.reshape(b, -1), axis=0)) > 10
+
+
+def test_random_pattern_mask_density():
+    b, h, w = 64, 64, 64
+    m = np.asarray(
+        masking.random_pattern_mask(
+            jax.random.PRNGKey(7), (b, h, w, 1), density=0.25
+        )
+    )
+    hidden_frac = 1.0 - m.mean((1, 2, 3))
+    # density rejection keeps coverage near 0.25 (best-of-K may rarely miss)
+    assert (np.abs(hidden_frac - 0.25) < 0.08).all()
+
+
+def test_mixture_mask_uses_all_components():
+    gens, weights = masking.mnist_mask_spec(28)
+    key = jax.random.PRNGKey(8)
+    m = np.asarray(
+        masking.mixture_mask(key, (512, 28, 28, 1), gens, weights)
+    )
+    assert m.shape == (512, 28, 28, 1)
+    fracs = 1.0 - m.mean((1, 2, 3))
+    # mixture should produce diverse mask densities
+    assert fracs.std() > 0.1
+
+
+def test_celeb_a_mask_generator():
+    gen = masking.get_mask_generator("CelebAMaskGenerator")
+    m = np.asarray(gen(jax.random.PRNGKey(9), (32, 64, 64, 3)))
+    assert m.shape == (32, 64, 64, 1)
+    assert set(np.unique(m)).issubset({0.0, 1.0})
+
+
+def test_registry_names_match_reference():
+    for name in [
+        "BernoulliMaskGenerator",
+        "UniformMaskGenerator",
+        "MNISTMaskGenerator",
+        "OmniglotMaskGenerator",
+        "CelebAMaskGenerator",
+    ]:
+        gen = masking.get_mask_generator(name)
+        shape = (4, 28, 28, 1) if "Mask" in name and name not in (
+            "BernoulliMaskGenerator", "UniformMaskGenerator"
+        ) else (4, 16)
+        if name == "CelebAMaskGenerator":
+            shape = (4, 64, 64, 3)
+        m = gen(jax.random.PRNGKey(0), shape)
+        assert np.asarray(m).min() >= 0 and np.asarray(m).max() <= 1
+
+
+def test_add_mask_inside_jit():
+    """Mask generation must trace into a jitted step (the fusion claim)."""
+    gen = masking.get_mask_generator("UniformMaskGenerator")
+
+    @jax.jit
+    def step(batch, key):
+        out = masking.add_mask(batch, key, gen)
+        return out["mask"].sum()
+
+    batch = {"features": jnp.ones((8, 10))}
+    val = step(batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(val))
+
+
+def test_mask_generator_kwargs_from_config():
+    gen = masking.get_mask_generator(
+        "UniformMaskGenerator", bounds=[0.0, 0.2]
+    )
+    m = np.asarray(gen(jax.random.PRNGKey(1), (100, 256)))
+    assert m.sum(-1).max() <= int(256 * 0.2)

@@ -1,0 +1,192 @@
+"""Trainer tests: sharded training, freezing, EMA, non-finite skipping,
+determinism, warm starts."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from flax import linen as nn
+
+from posterior_matching_tpu.data.datasets import ArrayDataset
+from posterior_matching_tpu.train import Trainer
+
+
+class TinyModel(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(8, name="enc")(x)
+        h = jax.nn.relu(h)
+        return nn.Dense(x.shape[-1], name="dec")(h)
+
+
+def _make_problem(n=256, d=4, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, d).astype(np.float32)
+    ds = ArrayDataset({"features": x}, batch_size=32, shuffle=True, seed=0)
+    model = TinyModel()
+
+    def loss_fn(params, state, key, step, batch, is_training):
+        pred = model.apply({"params": params}, batch["features"])
+        loss = jnp.mean((pred - batch["features"]) ** 2)
+        return loss, {"mse": loss}, state
+
+    def init_fn(key, batch):
+        variables = model.init(key, batch["features"])
+        return variables["params"], {}
+
+    return ds, loss_fn, init_fn
+
+
+def test_loss_decreases():
+    ds, loss_fn, init_fn = _make_problem()
+    trainer = Trainer(loss_fn, init_fn, optax.adam(1e-2), seed=0)
+    logs = []
+    ts = trainer.fit(
+        ds, steps=100, validation_freq=50, log_fn=lambda m: logs.append(m)
+    )
+    assert int(ts.step) == 100
+
+
+def test_multi_device_matches_single_device():
+    """Same seed, same data: 8-device data-parallel result must match the
+    single-device result (global batch identical)."""
+    assert jax.device_count() == 8
+    ds, loss_fn, init_fn = _make_problem()
+    t1 = Trainer(loss_fn, init_fn, optax.adam(1e-2), num_devices=1, seed=0)
+    ts1 = t1.fit(ds, steps=20, validation_freq=100)
+    ds2, _, _ = _make_problem()
+    t8 = Trainer(loss_fn, init_fn, optax.adam(1e-2), num_devices=8, seed=0)
+    ts8 = t8.fit(ds2, steps=20, validation_freq=100)
+    p1 = jax.device_get(ts1.params)
+    p8 = jax.device_get(ts8.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5),
+        p1,
+        p8,
+    )
+
+
+def test_determinism():
+    results = []
+    for _ in range(2):
+        ds, loss_fn, init_fn = _make_problem()
+        t = Trainer(loss_fn, init_fn, optax.adam(1e-2), seed=42)
+        ts = t.fit(ds, steps=10, validation_freq=100)
+        results.append(jax.device_get(ts.params))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, b), *results
+    )
+
+
+def test_trainable_predicate_freezes_params():
+    ds, loss_fn, init_fn = _make_problem()
+
+    def predicate(module_name, name, value):
+        return "enc" in module_name
+
+    t = Trainer(
+        loss_fn,
+        init_fn,
+        optax.adam(1e-2),
+        trainable_predicate=predicate,
+        seed=0,
+    )
+    first = next(iter(ds))
+    ts0 = t.init(first)
+    init_dec = jax.device_get(ts0.params["dec"])
+    init_enc = jax.device_get(ts0.params["enc"])
+    # fit re-inits with the same seed, so compare against these
+    ts = t.fit(ds, steps=30, validation_freq=100)
+    final = jax.device_get(ts.params)
+    np.testing.assert_array_equal(final["dec"]["kernel"], init_dec["kernel"])
+    assert np.abs(final["enc"]["kernel"] - init_enc["kernel"]).max() > 1e-4
+
+
+def test_skip_nonfinite_updates():
+    n, d = 64, 4
+    x = np.random.RandomState(0).randn(n, d).astype(np.float32)
+    ds = ArrayDataset({"features": x}, batch_size=16)
+    model = TinyModel()
+    counter = {"calls": 0}
+
+    def loss_fn(params, state, key, step, batch, is_training):
+        pred = model.apply({"params": params}, batch["features"])
+        loss = jnp.mean((pred - batch["features"]) ** 2)
+        # inject a NaN loss on odd steps
+        loss = jnp.where(step % 2 == 1, jnp.nan, loss)
+        return loss, {}, state
+
+    def init_fn(key, batch):
+        return model.init(key, batch["features"])["params"], {}
+
+    t = Trainer(
+        loss_fn,
+        init_fn,
+        optax.sgd(1e-2),
+        skip_nonfinite_updates=True,
+        seed=0,
+    )
+    ts = t.fit(ds, steps=10, validation_freq=100)
+    # params must remain finite despite NaN losses on half the steps
+    assert all(
+        np.isfinite(leaf).all() for leaf in jax.tree.leaves(
+            jax.device_get(ts.params)
+        )
+    )
+
+
+def test_ema_params_track():
+    ds, loss_fn, init_fn = _make_problem()
+    t = Trainer(
+        loss_fn, init_fn, optax.adam(1e-2), ema_rate=0.5, seed=0
+    )
+    ts = t.fit(ds, steps=50, validation_freq=100)
+    ema = jax.device_get(ts.ema_params)
+    params = jax.device_get(ts.params)
+    # EMA close to but not equal to current params
+    diff = np.abs(ema["enc"]["kernel"] - params["enc"]["kernel"]).max()
+    assert 0 < diff < 1.0
+
+
+def test_warm_start_merge():
+    ds, loss_fn, init_fn = _make_problem()
+    t = Trainer(loss_fn, init_fn, optax.adam(1e-2), seed=0)
+    first = next(iter(ds))
+    ts = t.init(first)
+    canned = jax.tree.map(lambda x: np.full_like(x, 0.123), ts.params["enc"])
+    t2 = Trainer(loss_fn, init_fn, optax.adam(1e-2), seed=0)
+    ts2 = t2.init(first, initial_params={"enc": canned})
+    got = jax.device_get(ts2.params["enc"]["kernel"])
+    np.testing.assert_allclose(got, 0.123)
+    # dec stays freshly initialized
+    assert np.abs(jax.device_get(ts2.params["dec"]["kernel"])).max() > 0
+
+
+def test_prologue_runs_on_device():
+    """Mask prologue is traced into the step (fused on-device masking)."""
+    from posterior_matching_tpu import masking
+
+    gen = masking.get_mask_generator("BernoulliMaskGenerator")
+
+    def prologue(batch, key):
+        return masking.add_mask(batch, key, gen)
+
+    n, d = 64, 4
+    x = np.random.RandomState(0).randn(n, d).astype(np.float32)
+    ds = ArrayDataset({"features": x}, batch_size=16)
+    model = TinyModel()
+    seen = {}
+
+    def loss_fn(params, state, key, step, batch, is_training):
+        assert "mask" in batch
+        seen["mask"] = True
+        pred = model.apply({"params": params}, batch["features"] * batch["mask"])
+        loss = jnp.mean((pred - batch["features"]) ** 2)
+        return loss, {}, state
+
+    def init_fn(key, batch):
+        return model.init(key, batch["features"])["params"], {}
+
+    t = Trainer(loss_fn, init_fn, optax.adam(1e-2), prologue_fn=prologue, seed=0)
+    t.fit(ds, steps=5, validation_freq=100)
+    assert seen.get("mask")
