@@ -1,0 +1,51 @@
+"""PM-VAE on MNIST with mixture masks (reference configs/pm_vae_mnist.py)."""
+from configs._base import config_from
+
+
+def get_config():
+    return config_from(
+        {
+            "data": {
+                "dataset": "mnist",
+                "train_split": "train",
+                "validation_split": "test",
+                "train_batch_size": 256,
+                "val_batch_size": 256,
+                "mask_generator": "MNISTMaskGenerator",
+            },
+            "model": {
+                "latent_dim": 32,
+                "encoder_net": "ConvEncoder",
+                "decoder_net": "ConvDecoder",
+                "posterior_dist": "TriLGaussian",
+                "partial_posterior_dist": "AutoregressiveGMM",
+                "decoder_dist": "Bernoulli",
+                "encoder_net_config": {
+                    "conv_layers": [
+                        (32, 5, 1),
+                        (32, 5, 2),
+                        (64, 5, 1),
+                        (64, 5, 2),
+                        (128, 7, 1),
+                    ]
+                },
+                "decoder_net_config": {
+                    "conv_layers": [
+                        (64, 7, 1),
+                        (64, 5, 2),
+                        (32, 5, 1),
+                        (32, 5, 2),
+                        (32, 5, 1),
+                        (1, 5, 1),
+                    ]
+                },
+            },
+            "steps": 80000,
+            "validation_freq": 1000,
+            "lr_schedule": {
+                "init_value": 0.001,
+                "decay_rate": 0.9,
+                "transition_steps": 5000,
+            },
+        }
+    )

@@ -1,0 +1,30 @@
+"""Stage-1 VQ-VAE on CelebA (reference configs/vqvae_celeb_a.py)."""
+from configs._base import config_from
+
+
+def get_config():
+    return config_from(
+        {
+            "data": {
+                "dataset": "celeb_a",
+                "train_split": "train",
+                "validation_split": "validation",
+                "train_batch_size": 64,
+                "val_batch_size": 64,
+            },
+            "model": {
+                "embedding_dim": 64,
+                "num_embeddings": 512,
+                "hidden_units": 128,
+                "residual_hidden_units": 32,
+                "residual_blocks": 2,
+                "decay": 0.99,
+                "use_ema": True,
+                "commitment_cost": 0.25,
+                "output_channels": 3,
+            },
+            "steps": 100000,
+            "validation_freq": 1000,
+            "learning_rate": 3e-4,
+        }
+    )

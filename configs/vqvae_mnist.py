@@ -1,0 +1,30 @@
+"""Stage-1 VQ-VAE on MNIST (reference configs/vqvae_mnist.py)."""
+from configs._base import config_from
+
+
+def get_config():
+    return config_from(
+        {
+            "data": {
+                "dataset": "mnist",
+                "train_split": "train",
+                "validation_split": "test",
+                "train_batch_size": 32,
+                "val_batch_size": 32,
+            },
+            "model": {
+                "embedding_dim": 64,
+                "num_embeddings": 256,
+                "hidden_units": 32,
+                "residual_hidden_units": 32,
+                "residual_blocks": 2,
+                "decay": 0.99,
+                "use_ema": True,
+                "commitment_cost": 0.25,
+                "output_channels": 1,
+            },
+            "steps": 60000,
+            "validation_freq": 1000,
+            "learning_rate": 3e-4,
+        }
+    )

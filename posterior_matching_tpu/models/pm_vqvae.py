@@ -1,0 +1,135 @@
+"""PM-VQVAE: frozen VQ-VAE + partial encoder + conditional PixelCNN posterior.
+
+Bundles the three components the reference wires together ad hoc inside
+haiku transforms (reference train_pm_vqvae.py:81-116, vqvae.py:269-312) into
+one flax module with a params tree laid out for freezing and warm starts:
+``{'vqvae': ..., 'partial_encoder': ..., 'pixel_cnn': ...}`` — the
+``trainable_predicate`` freezing everything under ``vqvae`` matches the
+reference's ``not module_name.startswith("vqvae/")``
+(reference train_pm_vqvae.py:122-123).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from posterior_matching_tpu.models.pixelcnn import PixelCNN, pixelcnn_sample
+from posterior_matching_tpu.models.vqvae import VQVAE, VQVAEPartialEncoder
+
+
+class PMVQVAE(nn.Module):
+    """See module docstring.
+
+    ``vqvae_config`` / ``pixel_cnn_config`` are the reference's JSON config
+    dicts (hashability handled by freezing to tuples upstream is not needed
+    here: pass plain kwargs via from_config).
+    """
+
+    conditional_dim: int
+    vqvae_kwargs: Tuple
+    pixel_cnn_kwargs: Tuple
+
+    @classmethod
+    def from_config(
+        cls,
+        conditional_dim: int,
+        vqvae_config: Dict[str, Any],
+        pixel_cnn_config: Dict[str, Any],
+        name: Optional[str] = None,
+    ) -> "PMVQVAE":
+        vq = dict(vqvae_config)
+        vq.pop("cross_replica_axis", None)  # implicit under mesh jit
+        pc = dict(pixel_cnn_config)
+        pc["image_shape"] = tuple(pc["image_shape"])
+        return cls(
+            conditional_dim=conditional_dim,
+            vqvae_kwargs=tuple(sorted(vq.items())),
+            pixel_cnn_kwargs=tuple(sorted(pc.items())),
+            name=name,
+        )
+
+    def setup(self):
+        self.vqvae = VQVAE(**dict(self.vqvae_kwargs), name="vqvae")
+        vq_cfg = dict(self.vqvae_kwargs)
+        self.partial_encoder = VQVAEPartialEncoder(
+            conditional_dim=self.conditional_dim,
+            hidden_units=vq_cfg["hidden_units"],
+            residual_blocks=vq_cfg["residual_blocks"],
+            residual_hidden_units=vq_cfg["residual_hidden_units"],
+            name="partial_encoder",
+        )
+        self.pixel_cnn = PixelCNN(
+            **dict(self.pixel_cnn_kwargs), name="pixel_cnn"
+        )
+
+    def conditional_latents(
+        self, x: jnp.ndarray, b: jnp.ndarray
+    ) -> jnp.ndarray:
+        return self.partial_encoder(jnp.concatenate([x * b, b], axis=-1))
+
+    def __call__(
+        self, x: jnp.ndarray, b: jnp.ndarray, training: bool = False
+    ) -> jnp.ndarray:
+        """Per-example conditional PixelCNN log-likelihood of the VQ codes
+        (the PM-VQVAE training objective, reference train_pm_vqvae.py:81-99).
+        """
+        encoding_indices = self.vqvae.encoding_indices(x)
+        cond = self.conditional_latents(x, b)
+        return self.pixel_cnn.log_prob(
+            jax.lax.stop_gradient(encoding_indices),
+            conditional_input=cond,
+            training=training,
+        )
+
+    def pixel_cnn_logits(self, indices, cond):
+        """Exposed for the raster sampling closure."""
+        return self.pixel_cnn(indices, conditional_input=cond)
+
+    def decode_code_samples(self, code_samples: jnp.ndarray) -> jnp.ndarray:
+        """[S, B, h, w] int codes -> [S, B, H, W, C] decoder means."""
+        s, b = code_samples.shape[:2]
+        flat = code_samples.reshape((s * b, *code_samples.shape[2:]))
+        imgs = self.vqvae.decode_indices(flat)
+        return imgs.reshape((s, b, *imgs.shape[1:]))
+
+
+def pm_vqvae_impute(
+    model: PMVQVAE,
+    variables: Dict[str, Any],
+    x: jnp.ndarray,
+    b: jnp.ndarray,
+    key: jax.Array,
+    num_samples: int = 5,
+) -> jnp.ndarray:
+    """Imputation: partial encoder -> conditional PixelCNN code samples ->
+    decode -> stitch observed pixels -> clip (reference vqvae_impute,
+    vqvae.py:269-312). Returns [B, num_samples, H, W, C].
+
+    Pure function over ``model.apply`` closures, so the PixelCNN raster loop
+    composes with jit/sharding without linen scope gymnastics.
+    """
+    cond = model.apply(
+        variables, x, b, method=model.conditional_latents
+    )
+    event_shape = dict(model.pixel_cnn_kwargs)["image_shape"]
+
+    def logits_fn(codes, c):
+        return model.apply(
+            variables, codes, c, method=model.pixel_cnn_logits
+        )
+
+    samples = pixelcnn_sample(
+        logits_fn, key, num_samples, event_shape, conditional_input=cond
+    )  # [S, B, h, w]
+
+    imputations = model.apply(
+        variables, samples, method=model.decode_code_samples
+    )  # [S, B, H, W, C]
+    imputations = jnp.moveaxis(imputations, 0, 1)  # [B, S, ...]
+    imputations = jnp.where(
+        b[:, None, ...], x[:, None, ...], imputations
+    )
+    return jnp.clip(imputations, 0.0, 1.0)

@@ -1,0 +1,28 @@
+"""Process-level runtime configuration for entry-point scripts.
+
+The reference's ``configure_environment`` (reference utils.py:21-24) silences
+TF and hides GPUs from it; ours configures JAX for production runs:
+persistent compilation cache (first compile of the big models is expensive;
+subsequent runs hit the cache) and optional x64/platform overrides via env.
+"""
+from __future__ import annotations
+
+import os
+
+
+def configure_environment():
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
+    os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "PM_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/pm_tpu_jax")
+    )
+    if cache_dir and cache_dir != "0":
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if os.environ.get("PM_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["PM_TPU_PLATFORM"])

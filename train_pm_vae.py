@@ -1,0 +1,133 @@
+"""Trains a Posterior Matching VAE.
+
+Drop-in equivalent of the reference's ``train_pm_vae.py`` (same CLI:
+``python train_pm_vae.py --config configs/pm_vae_gas.py``; same artifact
+layout: ``runs/pm-vae-<dataset>-<ts>/{train_state.pkl, model_config.json}``),
+rebuilt on the TPU-native stack: one jit-compiled sharded train step with
+on-device mask generation and training noise.
+"""
+import json
+import os
+import random
+
+import jax
+import jax.numpy as jnp
+import optax
+from absl import app, flags
+from ml_collections.config_flags import config_flags
+
+from posterior_matching_tpu.runtime import configure_environment
+
+configure_environment()
+
+from posterior_matching_tpu.data import (
+    load_datasets,
+    make_prologue,
+    make_val_prologue,
+)
+from posterior_matching_tpu.models.vae import PosteriorMatchingVAE
+from posterior_matching_tpu.train import (
+    CheckpointCallback,
+    LearningRateLoggerCallback,
+    TensorBoardCallback,
+    Trainer,
+    get_beta_schedule,
+    save_train_state,
+)
+from posterior_matching_tpu.utils import make_run_dir
+
+config_flags.DEFINE_config_file("config", lock_config=False)
+
+
+def main(_):
+    config = flags.FLAGS.config
+
+    if "seed" not in config:
+        config.seed = random.randint(0, int(2e9))
+
+    config.lock()
+
+    train_dataset, val_dataset = load_datasets(config.data)
+    is_image_data = "image" in train_dataset.element_spec
+    data_key = "image" if is_image_data else "features"
+
+    model = PosteriorMatchingVAE.from_config(config.model.to_dict())
+    beta_schedule = get_beta_schedule(
+        config.beta.to_dict() if "beta" in config else {}
+    )
+    matching_coef = config.get("matching_coef", 1.0)
+
+    def loss_fn(params, state, key, step, batch, is_training):
+        k_sample, k_dropout = jax.random.split(key)
+        out = model.apply(
+            {"params": params},
+            batch[data_key],
+            batch["mask"],
+            is_training=is_training,
+            rngs={"sample": k_sample, "dropout": k_dropout},
+        )
+        beta = beta_schedule(step)
+        elbo = jnp.mean(out["reconstruction_ll"] - beta * out["kl"])
+        matching_loss = -jnp.mean(out["matching_ll"])
+        loss = -elbo + matching_coef * matching_loss
+        aux = {k: jnp.mean(v) for k, v in out.items()}
+        aux["beta"] = beta
+        return loss, aux, state
+
+    def init_fn(key, batch):
+        k_params, k_sample = jax.random.split(key)
+        variables = model.init(
+            {"params": k_params, "sample": k_sample, "dropout": k_sample},
+            batch[data_key],
+            batch["mask"],
+            is_training=True,
+        )
+        return variables["params"], {}
+
+    schedule = optax.exponential_decay(**config.lr_schedule)
+    optimizer = optax.chain(
+        optax.scale_by_adam(**config.get("adam", {})),
+        optax.add_decayed_weights(
+            config.get("weight_decay", 0.0),
+            mask=lambda p: jax.tree.map(lambda x: x.ndim != 1, p),
+        ),
+        optax.scale_by_schedule(schedule),
+        optax.scale(-1.0),
+    )
+
+    trainer = Trainer(
+        loss_fn,
+        init_fn,
+        optimizer,
+        num_devices=1,
+        seed=config.seed,
+        prologue_fn=make_prologue(config.data),
+        val_prologue_fn=make_val_prologue(config.data),
+    )
+
+    run_dir = make_run_dir(prefix=f"pm-vae-{config.data.dataset}")
+    print("Using run directory:", run_dir)
+
+    callbacks = [
+        CheckpointCallback(os.path.join(run_dir, "train_state.pkl")),
+        LearningRateLoggerCallback(schedule),
+        TensorBoardCallback(os.path.join(run_dir, "tb")),
+    ]
+
+    train_state = trainer.fit(
+        train_dataset,
+        config.steps,
+        val_dataset=val_dataset,
+        validation_freq=config.validation_freq,
+        callbacks=callbacks,
+    )
+
+    if config.get("save_final_state", False):
+        save_train_state(os.path.join(run_dir, "train_state.pkl"), train_state)
+
+    with open(os.path.join(run_dir, "model_config.json"), "w") as fp:
+        json.dump(config.model.to_dict(), fp)
+
+
+if __name__ == "__main__":
+    app.run(main)
