@@ -1,0 +1,58 @@
+"""PM-VaDE partial encoder on a frozen VaDE (reference configs/pm_vade_mnist.py)."""
+from configs._base import config_from
+
+
+def get_config():
+    return config_from(
+        {
+            "data": {
+                "dataset": "mnist",
+                "train_split": "train",
+                "validation_split": "test",
+                "train_batch_size": 128,
+                "val_batch_size": 128,
+            },
+            # Replace with your own run dir from train_vade.py.
+            "vade_dir": "runs/vade-mnist",
+            "model": {
+                "encoder_net": "ConvEncoder",
+                "decoder_net": "ConvDecoder",
+                "decoder_dist": "Bernoulli",
+                "latent_dim": 10,
+                "num_components": 10,
+                "partial_posterior_dist": "AutoregressiveGMM",
+                "partial_posterior_dist_config": {
+                    "num_components": 10,
+                    "residual_blocks": 2,
+                    "hidden_units": 256,
+                },
+                "encoder_net_config": {
+                    "conv_layers": [
+                        (32, 5, 1),
+                        (32, 5, 2),
+                        (64, 5, 1),
+                        (64, 5, 2),
+                        (128, 7, 1),
+                    ]
+                },
+                "decoder_net_config": {
+                    "conv_layers": [
+                        (64, 7, 1),
+                        (64, 5, 2),
+                        (32, 5, 1),
+                        (32, 5, 2),
+                        (32, 5, 1),
+                        (1, 5, 1),
+                    ]
+                },
+            },
+            "steps": 160000,
+            "validation_freq": 5000,
+            "lr_schedule": {
+                "init_value": 0.001,
+                "decay_rate": 0.9,
+                "staircase": False,
+                "transition_steps": int(60000 / 128 * 10),
+            },
+        }
+    )

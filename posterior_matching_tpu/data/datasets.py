@@ -205,6 +205,7 @@ def load_eval_dataset(
     num_instances: Optional[int] = None,
     split: str = "test",
     normalize_images: bool = True,
+    drop_remainder: bool = True,
 ) -> ArrayDataset:
     """Test-split loader used by the eval scripts (reference
     eval_pm_vae_uci.py:46-57, eval_pm_vqvae.py:62-99)."""
@@ -217,7 +218,7 @@ def load_eval_dataset(
         arrays,
         batch_size,
         shuffle=False,
-        drop_remainder=True,
+        drop_remainder=drop_remainder,
         transform=_make_batch_transform(dataset, normalize_images),
     )
 

@@ -16,13 +16,17 @@ def configure_environment():
 
     import jax
 
+    if os.environ.get("PM_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["PM_TPU_PLATFORM"])
+
+    # Persistent compile cache: indispensable for the slow remote-compile TPU
+    # path, but CPU runs must skip it — the service's CPU AOT artifacts carry
+    # machine features the local host may not support (SIGILL risk).
+    on_cpu = os.environ.get("PM_TPU_PLATFORM") == "cpu"
     cache_dir = os.environ.get(
         "PM_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/pm_tpu_jax")
     )
-    if cache_dir and cache_dir != "0":
+    if cache_dir and cache_dir != "0" and not on_cpu:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    if os.environ.get("PM_TPU_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["PM_TPU_PLATFORM"])

@@ -1,0 +1,84 @@
+"""Tests for the eval/analysis utilities: PRD, embeddings, clustering."""
+import numpy as np
+import pytest
+
+from posterior_matching_tpu.eval import (
+    clustering_accuracy,
+    compute_prd,
+    compute_prd_from_embedding,
+    get_inception_embeddings,
+    prd_to_max_f_beta_pair,
+)
+
+
+def test_prd_identical_distributions():
+    d = np.ones(10) / 10
+    precision, recall = compute_prd(d, d)
+    # identical dists -> the curve passes through (1, 1)
+    assert precision.max() > 0.99
+    assert recall.max() > 0.99
+
+
+def test_prd_disjoint_distributions():
+    p = np.zeros(10)
+    p[:5] = 0.2
+    q = np.zeros(10)
+    q[5:] = 0.2
+    precision, recall = compute_prd(p, q)
+    assert precision.max() < 1e-6
+    assert recall.max() < 1e-6
+
+
+def test_prd_curve_monotone_tradeoff():
+    rng = np.random.RandomState(0)
+    p = rng.dirichlet(np.ones(20))
+    q = rng.dirichlet(np.ones(20))
+    precision, recall = compute_prd(q, p)
+    # as the angle grows, precision grows and recall falls (monotone sweep)
+    assert (np.diff(precision) >= -1e-9).all()
+    assert (np.diff(recall) <= 1e-9).all()
+
+
+def test_prd_from_embedding_same_data_high_f_scores():
+    rng = np.random.RandomState(0)
+    data = rng.randn(200, 8)
+    precision, recall = compute_prd_from_embedding(
+        data, data.copy(), num_clusters=5, num_runs=2
+    )
+    f8, f1_8 = prd_to_max_f_beta_pair(precision, recall)
+    assert f8 > 0.95 and f1_8 > 0.95
+
+
+def test_prd_balance_enforced():
+    with pytest.raises(ValueError, match="sizes differ"):
+        compute_prd_from_embedding(np.zeros((5, 2)), np.zeros((6, 2)))
+
+
+def test_embeddings_shapes_and_determinism():
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(6, 32, 32, 1).astype(np.float32)
+    e1 = get_inception_embeddings(imgs, batch_size=4, verbose=False)
+    e2 = get_inception_embeddings(imgs, batch_size=3, verbose=False)
+    assert e1.shape == (6, 2048)
+    np.testing.assert_allclose(e1, e2, atol=1e-4)
+
+
+def test_embeddings_separate_distinct_images():
+    rng = np.random.RandomState(0)
+    a = np.zeros((4, 32, 32, 3), np.float32)
+    b = np.ones((4, 32, 32, 3), np.float32)
+    ea = get_inception_embeddings(a, verbose=False)
+    eb = get_inception_embeddings(b, verbose=False)
+    assert np.abs(ea - eb).max() > 1e-3
+
+
+def test_clustering_accuracy_permutation_invariant():
+    y_true = np.array([0, 0, 1, 1, 2, 2])
+    y_pred = np.array([2, 2, 0, 0, 1, 1])  # perfect up to relabeling
+    assert clustering_accuracy(y_true, y_pred) == 1.0
+
+
+def test_clustering_accuracy_partial():
+    y_true = np.array([0, 0, 1, 1])
+    y_pred = np.array([0, 1, 1, 1])
+    assert clustering_accuracy(y_true, y_pred) == 0.75

@@ -1,0 +1,191 @@
+"""Trains a VaDE model via the 3-phase pipeline.
+
+Drop-in equivalent of the reference's ``train_vade.py``
+(reference train_vade.py:34-159): (1) deterministic-autoencoder pretraining,
+(2) sklearn GaussianMixture fit on the pretrained latents, grafted into the
+model's GMM prior params, (3) full ELBO training with the clustering-accuracy
+validation callback.
+"""
+import json
+import os
+import pickle
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from absl import app, flags
+from ml_collections.config_flags import config_flags
+
+from posterior_matching_tpu.runtime import configure_environment
+
+configure_environment()
+
+from sklearn.mixture import GaussianMixture
+
+from posterior_matching_tpu.data import load_datasets
+from posterior_matching_tpu.eval import (
+    ClusteringAccuracyCallback,
+    clustering_accuracy,
+)
+from posterior_matching_tpu.models.vade import VADE
+from posterior_matching_tpu.train import (
+    CheckpointCallback,
+    LearningRateLoggerCallback,
+    TensorBoardCallback,
+    Trainer,
+    save_train_state,
+)
+from posterior_matching_tpu.utils import make_run_dir
+
+config_flags.DEFINE_config_file("config", lock_config=False)
+
+
+def batch_process(fn, params, dataset, key):
+    """Applies a jitted fn over every batch and concatenates the results
+    (reference utils.py:154-166)."""
+    fn = jax.jit(fn)
+    out = []
+    for batch in dataset:
+        key, k = jax.random.split(key)
+        out.append(np.asarray(fn(params, k, batch)))
+    return np.concatenate(out, axis=0)
+
+
+def main(_):
+    config = flags.FLAGS.config
+
+    if "seed" not in config:
+        config.seed = random.randint(0, int(2e9))
+
+    config.lock()
+
+    train_dataset, val_dataset = load_datasets(config.data)
+    data_key = "image" if "image" in train_dataset.element_spec else "features"
+
+    model = VADE.from_config(config.model.to_dict())
+
+    def pretrain_loss_fn(params, state, key, step, batch, is_training):
+        loss = model.apply(
+            {"params": params},
+            batch[data_key],
+            method=model.pretrain_loss,
+            rngs={"dropout": key},
+        )
+        return loss, {}, state
+
+    def loss_fn(params, state, key, step, batch, is_training):
+        k_sample, k_dropout = jax.random.split(key)
+        elbo = model.apply(
+            {"params": params},
+            batch[data_key],
+            method=model.elbo,
+            rngs={"sample": k_sample, "dropout": k_dropout},
+        )
+        return -jnp.mean(elbo), {}, state
+
+    def init_fn(key, batch):
+        k1, k2 = jax.random.split(key)
+        variables = model.init(
+            {"params": k1, "sample": k2, "dropout": k2},
+            batch[data_key],
+            method=model.elbo,
+        )
+        return variables["params"], {}
+
+    def pred_fn(params, state, key, batch):
+        probs = model.apply(
+            {"params": params},
+            batch[data_key],
+            config.cluster_pred_num_samples,
+            method=model.predict_cluster,
+            rngs={"sample": key},
+        )
+        return jnp.argmax(probs, axis=-1)
+
+    def encode_fn(params, key, batch):
+        return model.apply(
+            {"params": params}, batch[data_key], method=model.encode_mean
+        )
+
+    run_dir = make_run_dir(prefix=f"vade-{config.data.dataset}")
+    print("Using run directory:", run_dir)
+
+    # -- phase 1: pretraining ---------------------------------------------------
+    pretrain_trainer = Trainer(
+        pretrain_loss_fn, init_fn, optax.adam(config.pretrain_lr),
+        seed=config.seed,
+    )
+    print("Pretraining...")
+    pretrain_state = pretrain_trainer.fit(
+        train_dataset, config.pretrain_steps, validation_freq=10**9
+    )
+    save_train_state(
+        os.path.join(run_dir, "pretrain_state.pkl"), pretrain_state
+    )
+
+    # -- phase 2: GMM fit on latents ---------------------------------------------
+    print("Fitting GMM...")
+    key = jax.random.PRNGKey(config.seed)
+    params_host = jax.device_get(pretrain_state.params)
+    latents = batch_process(encode_fn, params_host, train_dataset, key)
+    val_latents = batch_process(encode_fn, params_host, val_dataset, key)
+
+    gmm = GaussianMixture(
+        n_components=config.model.num_components,
+        covariance_type="diag",
+        max_iter=300,
+        n_init=10,
+    )
+    gmm.fit(latents)
+    gmm_preds = gmm.predict(val_latents)
+    targets = np.concatenate([b["label"] for b in val_dataset], axis=0)
+    print("GMM Accuracy:", round(clustering_accuracy(targets, gmm_preds), 4))
+
+    gmm_params = {
+        "logits": np.log(gmm.weights_).astype(np.float32),
+        "mu": gmm.means_.astype(np.float32),
+        # diag covariances -> log of the SCALE (sqrt of variance)... the
+        # reference grafts log(covariances_) directly as log_scale
+        # (train_vade.py:116-122); we reproduce that behavior exactly.
+        "log_scale": np.log(gmm.covariances_).astype(np.float32),
+    }
+    initial_params = dict(params_host)
+    initial_params.update(gmm_params)
+
+    # -- phase 3: ELBO training ---------------------------------------------------
+    with open(os.path.join(run_dir, "model_config.json"), "w") as fp:
+        json.dump(config.model.to_dict(), fp)
+
+    schedule = optax.exponential_decay(**config.lr_schedule)
+    optimizer = optax.chain(
+        optax.scale_by_adam(**config.get("adam", {})),
+        optax.scale_by_schedule(schedule),
+        optax.scale(-1.0),
+    )
+
+    trainer = Trainer(
+        loss_fn, init_fn, optimizer, num_devices=1, seed=config.seed
+    )
+
+    callbacks = [
+        ClusteringAccuracyCallback(pred_fn),
+        CheckpointCallback(os.path.join(run_dir, "train_state.pkl")),
+        LearningRateLoggerCallback(schedule),
+        TensorBoardCallback(os.path.join(run_dir, "tb")),
+    ]
+
+    print("Starting main training...")
+    trainer.fit(
+        train_dataset,
+        config.steps,
+        val_dataset=val_dataset,
+        validation_freq=config.validation_freq,
+        callbacks=callbacks,
+        initial_params=initial_params,
+    )
+
+
+if __name__ == "__main__":
+    app.run(main)
