@@ -23,6 +23,7 @@ import numpy as np
 from PIL import Image
 
 from posterior_matching_tpu import masking
+from posterior_matching_tpu import native
 from posterior_matching_tpu.data.sources import load_arrays
 
 
@@ -99,6 +100,31 @@ class ArrayDataset:
             transform=self._transform,
         )
 
+    def _gather(self, sel: np.ndarray) -> Dict[str, np.ndarray]:
+        """Assembles one batch. Uses the native multithreaded gather kernels
+        (posterior_matching_tpu/native) when available, including the fused
+        uint8 -> float32 rescale for image fields; falls back to numpy."""
+        fused = getattr(self._transform, "u8_scale_fields", {})
+        batch = {}
+        prescaled = set()
+        use_native = native.available()
+        for k, v in self._data.items():
+            if (
+                use_native
+                and k in fused
+                and v.dtype == np.uint8
+                and v.flags.c_contiguous
+            ):
+                batch[k] = native.gather_u8_to_f32(v, sel, fused[k])
+                prescaled.add(k)
+            elif use_native and v.flags.c_contiguous and v.ndim >= 1:
+                batch[k] = native.gather_rows(v, sel)
+            else:
+                batch[k] = v[sel]
+        if prescaled:
+            batch["_prescaled"] = prescaled
+        return batch
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = np.arange(self._n)
         if self._shuffle:
@@ -108,9 +134,10 @@ class ArrayDataset:
         )
         for start in range(0, max(stop, 0), self._batch_size):
             sel = idx[start : start + self._batch_size]
-            batch = {k: v[sel] for k, v in self._data.items()}
+            batch = self._gather(sel)
             if self._transform:
                 batch = self._transform(batch)
+            batch.pop("_prescaled", None)
             yield batch
 
     def as_numpy_iterator(self):
@@ -151,10 +178,14 @@ def _make_batch_transform(
     def transform(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         out = dict(batch)
         out.pop("id", None)
+        prescaled = out.get("_prescaled", ())
         if "image" in out:
-            img = out["image"].astype(np.float32)
-            if normalize_images:
-                img = img / 255.0
+            if "image" in prescaled:
+                img = out["image"]  # fused native gather already rescaled
+            else:
+                img = out["image"].astype(np.float32)
+                if normalize_images:
+                    img = img / 255.0
             if "mnist16" in dataset:
                 img = _resize_batch(img, (16, 16))
             out["image"] = img
@@ -163,6 +194,9 @@ def _make_batch_transform(
             out["features"] = img.reshape(len(img), -1)
         return out
 
+    if normalize_images:
+        # advertise the fused uint8 gather+rescale path to ArrayDataset
+        transform.u8_scale_fields = {"image": 1.0 / 255.0}
     return transform
 
 

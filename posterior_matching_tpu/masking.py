@@ -192,13 +192,21 @@ class _PatternCanvas:
     def get(cls, canvas_size: int, resolution: float, density: float, seed: int):
         cache_key = (canvas_size, resolution, density, seed)
         if cache_key not in cls._cache:
+            from PIL import Image
+
             low_size = max(2, int(resolution * canvas_size))
             rng = np.random.RandomState(seed)
             low = rng.uniform(0, 1, size=(low_size, low_size)).astype(np.float32)
-            pattern = jax.image.resize(
-                jnp.asarray(low), (canvas_size, canvas_size), method="bicubic"
+            # host-side bicubic upscale (same as the reference's PIL resize,
+            # masking.py:195-197); the thresholded canvas embeds into jitted
+            # programs as a plain host constant
+            pattern = np.asarray(
+                Image.fromarray(low, mode="F").resize(
+                    (canvas_size, canvas_size), Image.BICUBIC
+                )
             )
-            cls._cache[cache_key] = (pattern < density).astype(jnp.float32)
+            # cached as numpy: tracing embeds it as a program constant
+            cls._cache[cache_key] = (pattern < density).astype(np.float32)
         return cls._cache[cache_key]
 
 

@@ -155,17 +155,19 @@ class Encoder(nn.Module):
     blocks: str
     bottleneck_multiple: float
     custom_width_string: Optional[str] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x) -> Dict[int, jnp.ndarray]:
         widths = get_width_settings(self.width, self.custom_width_string)
         blocks = parse_layer_string(self.blocks)
+        block_cls = nn.remat(Block) if self.remat else Block
 
         h = _conv(self.width, 3, name="in_conv")(x)
         activations = {h.shape[1]: h}
 
         for i, (res, down_rate) in enumerate(blocks):
-            h = Block(
+            h = block_cls(
                 middle_width=int(widths[res] * self.bottleneck_multiple),
                 out_width=widths[res],
                 down_rate=down_rate,
@@ -521,6 +523,9 @@ class PosteriorMatchingVDVAE(nn.Module):
     no_bias_above: int = 64
     num_mixtures: int = 10
     custom_width_string: Optional[str] = None
+    # rematerialize encoder blocks in the backward pass (trades FLOPs for
+    # HBM on deep stacks; not a reference option)
+    remat: bool = False
 
     @classmethod
     def from_config(cls, config: Dict[str, Any], name: Optional[str] = None):
@@ -531,11 +536,12 @@ class PosteriorMatchingVDVAE(nn.Module):
     def setup(self):
         self.encoder = Encoder(
             self.width, self.encoder_blocks, self.bottleneck_multiple,
-            self.custom_width_string, name="encoder",
+            self.custom_width_string, remat=self.remat, name="encoder",
         )
         self.masked_encoder = Encoder(
             self.width, self.encoder_blocks, self.bottleneck_multiple,
-            self.custom_width_string, name="masked_encoder",
+            self.custom_width_string, remat=self.remat,
+            name="masked_encoder",
         )
         self.decoder = Decoder(
             latent_dim=self.latent_dim,

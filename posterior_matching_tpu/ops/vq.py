@@ -46,7 +46,7 @@ def _vq_kernel(z_ref, cb_ref, cb_norm_ref, idx_ref):
 
 
 def nearest_codebook_indices_pallas(
-    z: jnp.ndarray, codebook: jnp.ndarray, tile_n: int = 512
+    z: jnp.ndarray, codebook: jnp.ndarray, tile_n: int = 1024
 ) -> jnp.ndarray:
     """Tiled Pallas codebook search. Falls back to XLA for shapes that do not
     tile cleanly."""
@@ -77,11 +77,16 @@ def nearest_codebook_indices_pallas(
 def nearest_codebook_indices(
     z: jnp.ndarray, codebook: jnp.ndarray, use_pallas: bool = None
 ) -> jnp.ndarray:
-    """Dispatcher: Pallas on TPU, XLA elsewhere (CPU tests, interpretation)."""
+    """Dispatcher: Pallas on TPU, XLA elsewhere (CPU tests, interpretation).
+
+    The argmin is piecewise constant in its inputs, so the search is wrapped
+    in stop_gradient (also required: pallas_call defines no autodiff rule)."""
+    z = jax.lax.stop_gradient(z)
+    codebook = jax.lax.stop_gradient(codebook)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     n, d = z.shape
-    if use_pallas and n >= 512 and d % 8 == 0 and codebook.shape[0] % 128 == 0:
+    if use_pallas and n >= 1024 and d % 8 == 0 and codebook.shape[0] % 128 == 0:
         return nearest_codebook_indices_pallas(z, codebook)
     return nearest_codebook_indices_xla(z, codebook)
 

@@ -2,6 +2,7 @@ from posterior_matching_tpu.train.callbacks import (
     Callback,
     CheckpointCallback,
     LearningRateLoggerCallback,
+    OrbaxCheckpointCallback,
     TensorBoardCallback,
 )
 from posterior_matching_tpu.train.schedules import (
@@ -19,6 +20,7 @@ __all__ = [
     "Callback",
     "CheckpointCallback",
     "LearningRateLoggerCallback",
+    "OrbaxCheckpointCallback",
     "TensorBoardCallback",
     "TrainState",
     "Trainer",

@@ -63,3 +63,41 @@ class TensorBoardCallback(Callback):
                     k, imgs, global_step=step, dataformats="NHWC"
                 )
         self._writer.flush()
+
+
+class OrbaxCheckpointCallback(Callback):
+    """Orbax-managed checkpointing (atomic, async, retention-managed) as a
+    production alternative to the reference's whole-state pickling. The pickle
+    contract (CheckpointCallback) remains the cross-stage ABI; this adds
+    durable mid-run snapshots for resume.
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        import os
+
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._manager = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+
+    def on_validation_end(self, train_state, step, logs):
+        tree = {
+            "params": train_state.params,
+            "state": train_state.state,
+            "opt_state": train_state.opt_state,
+            "ema_params": train_state.ema_params,
+            "step": step,
+        }
+        self._manager.save(
+            step, args=self._ocp.args.StandardSave(tree)
+        )
+
+    def restore_latest(self):
+        """Returns the newest checkpoint tree, or None."""
+        step = self._manager.latest_step()
+        if step is None:
+            return None
+        return self._manager.restore(step)

@@ -105,6 +105,8 @@ class Trainer:
         prologue_fn: Optional[PrologueFn] = None,
         val_prologue_fn: Optional[PrologueFn] = None,
         seed: Optional[int] = None,
+        profile_dir: Optional[str] = None,
+        profile_steps: tuple = (10, 15),
     ):
         self._loss_fn = loss_fn
         self._init_fn = init_fn
@@ -118,6 +120,8 @@ class Trainer:
             val_prologue_fn if val_prologue_fn is not None else prologue_fn
         )
         self._seed = seed if seed is not None else np.random.randint(0, 2**31)
+        self._profile_dir = profile_dir
+        self._profile_steps = profile_steps
 
         self.mesh = create_mesh(num_devices)
         self._batch_sharding = batch_sharding(self.mesh)
@@ -264,8 +268,13 @@ class Trainer:
         callbacks: Sequence = (),
         initial_params=None,
         initial_state=None,
+        resume_from: Optional[TrainState] = None,
         log_fn: Callable[[str], None] = print,
     ) -> TrainState:
+        """Runs the training loop. ``resume_from`` continues mid-run from a
+        full TrainState (params + optimizer state + step counter) — a
+        capability the reference lacks entirely (its checkpoints only chain
+        pipeline stages, SURVEY.md §5)."""
         def forever(ds):
             while True:
                 yielded = False
@@ -278,9 +287,24 @@ class Trainer:
         train_iter = forever(train_dataset)
         first = next(train_iter)
 
-        ts = self.init(
-            self._shard(first), initial_params, initial_state
-        )
+        if resume_from is not None:
+            ts = self.init(self._shard(first))  # builds tx for this config
+            put = lambda t: jax.device_put(t, self._replicated)
+            ts = TrainState(
+                params=put(resume_from.params),
+                state=put(resume_from.state),
+                opt_state=put(resume_from.opt_state),
+                ema_params=(
+                    put(resume_from.ema_params)
+                    if resume_from.ema_params is not None
+                    else None
+                ),
+                step=jnp.asarray(int(resume_from.step), jnp.int32),
+            )
+        else:
+            ts = self.init(
+                self._shard(first), initial_params, initial_state
+            )
         self._train_step = self._make_train_step()
         self._val_step = self._make_val_step()
 
@@ -293,9 +317,28 @@ class Trainer:
         t_start = time.time()
         steps_since_log = 0
 
+        start_step = int(ts.step)
         batch = first
-        for step in range(steps):
+        # Resume: replay the deterministic batch stream up to the checkpoint
+        # so the resumed run sees exactly the batches the original would have.
+        for _ in range(start_step):
+            batch = next(train_iter)
+        for step in range(start_step, steps):
+            if (
+                self._profile_dir is not None
+                and step - start_step == self._profile_steps[0]
+            ):
+                jax.profiler.start_trace(self._profile_dir)
             ts, metrics = self._train_step(ts, self._shard(batch), base_key)
+            if (
+                self._profile_dir is not None
+                and step - start_step == self._profile_steps[1]
+            ):
+                jax.tree.map(
+                    lambda x: x.block_until_ready(),
+                    metrics,
+                )
+                jax.profiler.stop_trace()
             pending_metrics.append(metrics)
             steps_since_log += 1
             if step + 1 < steps:
