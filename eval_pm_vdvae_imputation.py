@@ -21,6 +21,8 @@ configure_environment()
 
 from posterior_matching_tpu import masking
 from posterior_matching_tpu.data import load_eval_dataset
+from posterior_matching_tpu.parallel import create_mesh
+from posterior_matching_tpu.parallel.mesh import shard_batch
 from posterior_matching_tpu.eval import (
     compute_prd_from_embedding,
     get_inception_embeddings,
@@ -93,6 +95,7 @@ def main(_):
         psnr = -10.0 * jnp.log10(mse)
         return psnr, imputations / 255.0
 
+    mesh = create_mesh()  # eval parallelism: batch sharded over all chips
     key = jax.random.PRNGKey(91)
     total = dataset.cardinality()
 
@@ -107,7 +110,7 @@ def main(_):
         trial_psnrs, imputations = [], []
         for batch in tqdm(dataset, total=total, desc=f"Trial {trial + 1}"):
             key, k = jax.random.split(key)
-            psnr, imp = eval_step(k, batch)
+            psnr, imp = eval_step(k, shard_batch(batch, mesh))
             trial_psnrs.append(np.asarray(psnr))
             imputations.append(np.asarray(imp))
         psnrs.append(np.concatenate(trial_psnrs, axis=0))

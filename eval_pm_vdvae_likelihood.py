@@ -24,6 +24,8 @@ configure_environment()
 
 from posterior_matching_tpu import masking
 from posterior_matching_tpu.data import load_eval_dataset
+from posterior_matching_tpu.parallel import create_mesh
+from posterior_matching_tpu.parallel.mesh import shard_batch
 from posterior_matching_tpu.models.vdvae import (
     PosteriorMatchingVDVAE,
     vdvae_is_log_probs,
@@ -92,6 +94,7 @@ def main(_):
             model, variables, x, b, k_is, num_samples=num_samples
         )
 
+    mesh = create_mesh()  # eval parallelism: batch sharded over all chips
     key = jax.random.PRNGKey(91)
     total = dataset.cardinality()
 
@@ -101,7 +104,7 @@ def main(_):
         xo_lls.append([])
         for batch in tqdm(dataset, total=total, desc=f"Trial {trial + 1}"):
             key, k = jax.random.split(key)
-            px, pxu = eval_step(k, batch)
+            px, pxu = eval_step(k, shard_batch(batch, mesh))
             x_lls[-1].append(np.asarray(px))
             xo_lls[-1].append(np.asarray(px) - np.asarray(pxu))
         x_lls[-1] = np.concatenate(x_lls[-1], axis=0)
