@@ -77,7 +77,8 @@ def main(_):
     model_state = load_train_state(os.path.join(run_dir, "train_state.pkl"))
 
     model = PMVQVAE.from_config(
-        config["conditional_dim"], vqvae_config, config["pixel_cnn"]
+        config["conditional_dim"], vqvae_config, config["pixel_cnn"],
+        compute_dtype=config.get("compute_dtype"),
     )
     mask_fn = masking.get_mask_generator(flags.FLAGS.mask_generator)
     num_samples = flags.FLAGS.num_samples

@@ -1,5 +1,6 @@
 from posterior_matching_tpu.data.datasets import (
     ArrayDataset,
+    DeviceDataset,
     load_datasets,
     load_eval_dataset,
     make_prologue,
@@ -9,6 +10,7 @@ from posterior_matching_tpu.data.sources import load_arrays
 
 __all__ = [
     "ArrayDataset",
+    "DeviceDataset",
     "load_arrays",
     "load_datasets",
     "load_eval_dataset",

@@ -144,6 +144,50 @@ class ArrayDataset:
         return iter(self)
 
 
+class DeviceDataset:
+    """Training data resident in device HBM (replicated per chip).
+
+    Hand this to :class:`posterior_matching_tpu.train.Trainer` instead of an
+    :class:`ArrayDataset` and batches are gathered ON DEVICE inside the
+    (scan-fused) jitted train step: uniform-with-replacement index sampling
+    keyed by the step counter, `jnp.take`, optional on-device ``transform``
+    (e.g. uint8→float rescale), then the usual mask/noise prologue. The host
+    input pipeline disappears entirely — no per-step gather, transfer, or
+    dispatch. The reference cannot express this at all: its masks are
+    generated by a host callback per batch (reference masking.py:342).
+
+    Cost: one full copy of the (pre-transform) dataset per chip; store uint8
+    and rescale in ``transform`` to keep it small. Sampling-with-replacement
+    replaces shuffled epochs (equivalent in expectation for SGD; keyed by
+    step, so mid-run resume needs no stream replay).
+    """
+
+    def __init__(
+        self,
+        data: Dict[str, np.ndarray],
+        batch_size: int,
+        transform: Optional[Callable[[Dict], Dict]] = None,
+    ):
+        n = len(next(iter(data.values())))
+        for k, v in data.items():
+            assert len(v) == n, f"ragged dataset field {k}"
+        self.data = data
+        self.batch_size = batch_size
+        self.num_examples = n
+        self.transform = transform
+
+    def example_batch(self) -> Dict[str, np.ndarray]:
+        """A host-side sample batch (for init/compile shapes)."""
+        batch = {
+            k: np.asarray(v[: self.batch_size]) for k, v in self.data.items()
+        }
+        if self.transform is not None:
+            import jax
+
+            batch = jax.device_get(jax.jit(self.transform)(batch))
+        return batch
+
+
 def _resize_batch(images: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     """Bilinear resize on host (PIL), matching tf.image.resize defaults
     closely enough for training pipelines."""

@@ -19,7 +19,7 @@ Key departures from the reference:
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,7 @@ class _MaskedConv(nn.Module):
     valid_rows: Tuple[int, int]
     valid_cols: Tuple[int, int]
     strides: Tuple[int, int] = (1, 1)
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -64,6 +65,7 @@ class _MaskedConv(nn.Module):
             padding="SAME",
             mask=mask,
             kernel_init=_trunc_normal_fan_in,
+            dtype=self.dtype,
         )(x)
 
 
@@ -73,6 +75,7 @@ class _MaskedConvTranspose(nn.Module):
     valid_rows: Tuple[int, int]
     valid_cols: Tuple[int, int]
     strides: Tuple[int, int] = (2, 2)
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -90,6 +93,7 @@ class _MaskedConvTranspose(nn.Module):
             padding="SAME",
             mask=mask,
             kernel_init=_trunc_normal_fan_in,
+            dtype=self.dtype,
         )(x)
 
 
@@ -107,6 +111,14 @@ class PixelCNN(nn.Module):
     num_hierarchies: int = 1
     num_filters: int = 128
     receptive_field_dims: Tuple[int, int] = (3, 3)
+    # Compute dtype for the conv/dense stacks (params stay float32); set to
+    # "bfloat16" to run the masked convs on the MXU at bf16 throughput.
+    # Logits/log_softmax are always evaluated in float32.
+    dtype: Optional[str] = None
+
+    @property
+    def _cdtype(self):
+        return jnp.dtype(self.dtype) if self.dtype is not None else None
 
     def _gated_residual(
         self, tag, input_x, aux, cond, kernel_size, constraint, training
@@ -118,21 +130,24 @@ class PixelCNN(nn.Module):
         f = self.num_filters
         x = concat_elu(input_x)
         x = _MaskedConv(
-            f, kernel_size, *constraint, name=f"{tag}_conv_a"
+            f, kernel_size, *constraint, dtype=self._cdtype,
+            name=f"{tag}_conv_a",
         )(x)
         if aux is not None:
             x = x + nn.Dense(
-                f, kernel_init=_trunc_normal_fan_in, name=f"{tag}_aux"
+                f, kernel_init=_trunc_normal_fan_in, dtype=self._cdtype,
+                name=f"{tag}_aux",
             )(concat_elu(aux))
         x = concat_elu(x)
         x = nn.Dropout(self.dropout, deterministic=not training)(x)
         x = _MaskedConv(
-            2 * f, kernel_size, *constraint, name=f"{tag}_conv_b"
+            2 * f, kernel_size, *constraint, dtype=self._cdtype,
+            name=f"{tag}_conv_b",
         )(x)
         if cond is not None:
             proj = nn.Dense(
                 2 * f, kernel_init=nn.initializers.normal(1.0),
-                name=f"{tag}_cond_proj",
+                dtype=self._cdtype, name=f"{tag}_cond_proj",
             )(cond.reshape((cond.shape[0], -1)))
             x = x + proj[:, None, None, :]
         activation, gate = jnp.split(x, 2, axis=-1)
@@ -160,18 +175,21 @@ class PixelCNN(nn.Module):
             k: ((0, v[0]), (0, v[1])) for k, v in valid.items()
         }
 
-        h0 = nn.Embed(self.num_indices, f, name="embed")(
-            indices.astype(jnp.int32)
-        )
+        h0 = nn.Embed(
+            self.num_indices, f, dtype=self._cdtype, name="embed"
+        )(indices.astype(jnp.int32))
 
         v_init = _MaskedConv(
-            f, (2 * rows - 1, cols), (0, rows - 1), (0, cols), name="v_init"
+            f, (2 * rows - 1, cols), (0, rows - 1), (0, cols),
+            dtype=self._cdtype, name="v_init",
         )(h0)
         h_up = _MaskedConv(
-            f, (3, cols), (0, 1), (0, cols), name="h_init_up"
+            f, (3, cols), (0, 1), (0, cols), dtype=self._cdtype,
+            name="h_init_up",
         )(h0)
         h_left = _MaskedConv(
-            f, (3, cols), (0, 2), (0, cols // 2), name="h_init_left"
+            f, (3, cols), (0, 2), (0, cols // 2), dtype=self._cdtype,
+            name="h_init_left",
         )(h0)
 
         stacks = {"vertical": [v_init], "horizontal": [h_up + h_left]}
@@ -199,6 +217,7 @@ class PixelCNN(nn.Module):
                     kw = w_ + 1 if name == "vertical" else 2 * w_
                     x = _MaskedConv(
                         f, (kh, kw), (0, h_), (0, w_), strides=(2, 2),
+                        dtype=self._cdtype,
                         name=f"down_sample_{i}_{name}",
                     )(stacks[name][-1])
                     stacks[name].append(x)
@@ -232,16 +251,18 @@ class PixelCNN(nn.Module):
                         kw = 2 * w_ - 2
                         constraint = ((h_ - 2, kh), (w_ - 2, kw))
                     down[name] = _MaskedConvTranspose(
-                        f, (kh, kw), *constraint,
+                        f, (kh, kw), *constraint, dtype=self._cdtype,
                         name=f"up_sample_{i}_{name}",
                     )(down[name])
 
         x_out = jax.nn.elu(down["horizontal"])
+        # logits conv left at dtype=None: f32 params promote the bf16
+        # activations back to f32, so the categorical head is always f32.
         logits = nn.Conv(
             self.num_indices, (1, 1), kernel_init=_trunc_normal_fan_in,
             name="logits_conv",
         )(x_out)
-        return logits
+        return logits.astype(jnp.float32)
 
     def log_prob(
         self,

@@ -38,12 +38,22 @@ class PMVQVAE(nn.Module):
         conditional_dim: int,
         vqvae_config: Dict[str, Any],
         pixel_cnn_config: Dict[str, Any],
+        compute_dtype: Optional[str] = None,
         name: Optional[str] = None,
     ) -> "PMVQVAE":
+        """``compute_dtype`` (e.g. "bfloat16") sets the conv-stack compute
+        dtype of all three submodules; params and every probability head stay
+        float32. A ``compute_dtype`` key inside either config dict works too.
+        """
         vq = dict(vqvae_config)
         vq.pop("cross_replica_axis", None)  # implicit under mesh jit
         pc = dict(pixel_cnn_config)
         pc["image_shape"] = tuple(pc["image_shape"])
+        if compute_dtype is not None:
+            vq.setdefault("compute_dtype", compute_dtype)
+            pc.setdefault("dtype", compute_dtype)
+        elif "compute_dtype" in vq:
+            pc.setdefault("dtype", vq["compute_dtype"])
         return cls(
             conditional_dim=conditional_dim,
             vqvae_kwargs=tuple(sorted(vq.items())),
@@ -59,6 +69,7 @@ class PMVQVAE(nn.Module):
             hidden_units=vq_cfg["hidden_units"],
             residual_blocks=vq_cfg["residual_blocks"],
             residual_hidden_units=vq_cfg["residual_hidden_units"],
+            compute_dtype=vq_cfg.get("compute_dtype"),
             name="partial_encoder",
         )
         self.pixel_cnn = PixelCNN(

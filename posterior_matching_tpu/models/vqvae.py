@@ -148,6 +148,7 @@ class ConvResidualStack(nn.Module):
     residual_blocks: int
     residual_hidden_units: int
     activate_final: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -155,11 +156,13 @@ class ConvResidualStack(nn.Module):
         for i in range(self.residual_blocks):
             r = nn.Conv(
                 self.residual_hidden_units, (3, 3),
-                kernel_init=_trunc_normal_fan_in, name=f"res3x3_{i}",
+                kernel_init=_trunc_normal_fan_in, dtype=self.dtype,
+                name=f"res3x3_{i}",
             )(jax.nn.relu(h))
             r = nn.Conv(
                 self.hidden_units, (1, 1),
-                kernel_init=_trunc_normal_fan_in, name=f"res1x1_{i}",
+                kernel_init=_trunc_normal_fan_in, dtype=self.dtype,
+                name=f"res1x1_{i}",
             )(jax.nn.relu(r))
             h = h + r
         if self.activate_final:
@@ -174,30 +177,34 @@ class ConvResidualEncoder(nn.Module):
     hidden_units: int
     residual_blocks: int
     residual_hidden_units: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
         h = jax.nn.relu(
             nn.Conv(
                 self.hidden_units // 2, (4, 4), strides=(2, 2),
-                kernel_init=_trunc_normal_fan_in, name="enc_1",
+                kernel_init=_trunc_normal_fan_in, dtype=self.dtype,
+                name="enc_1",
             )(x)
         )
         h = jax.nn.relu(
             nn.Conv(
                 self.hidden_units, (4, 4), strides=(2, 2),
-                kernel_init=_trunc_normal_fan_in, name="enc_2",
+                kernel_init=_trunc_normal_fan_in, dtype=self.dtype,
+                name="enc_2",
             )(h)
         )
         h = jax.nn.relu(
             nn.Conv(
                 self.hidden_units, (3, 3),
-                kernel_init=_trunc_normal_fan_in, name="enc_3",
+                kernel_init=_trunc_normal_fan_in, dtype=self.dtype,
+                name="enc_3",
             )(h)
         )
         return ConvResidualStack(
             self.hidden_units, self.residual_blocks,
-            self.residual_hidden_units,
+            self.residual_hidden_units, dtype=self.dtype,
         )(h)
 
 
@@ -209,23 +216,27 @@ class ConvResidualDecoder(nn.Module):
     residual_blocks: int
     residual_hidden_units: int
     output_channels: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, z, scale: Optional[jnp.ndarray] = None) -> Normal:
         h = nn.Conv(
             self.hidden_units, (3, 3),
-            kernel_init=_trunc_normal_fan_in, name="dec_1",
+            kernel_init=_trunc_normal_fan_in, dtype=self.dtype, name="dec_1",
         )(z)
         h = ConvResidualStack(
             self.hidden_units, self.residual_blocks,
-            self.residual_hidden_units,
+            self.residual_hidden_units, dtype=self.dtype,
         )(h)
         h = jax.nn.relu(
             nn.ConvTranspose(
                 self.hidden_units // 2, (4, 4), strides=(2, 2),
-                kernel_init=_trunc_normal_fan_in, name="dec_2",
+                kernel_init=_trunc_normal_fan_in, dtype=self.dtype,
+                name="dec_2",
             )(h)
         )
+        # final conv left at dtype=None so the f32 params promote the output
+        # location back to float32 for the Normal head
         loc = nn.ConvTranspose(
             self.output_channels, (4, 4), strides=(2, 2),
             kernel_init=_trunc_normal_fan_in, name="dec_3",
@@ -250,11 +261,21 @@ class VQVAE(nn.Module):
     decay: float = 0.99
     commitment_cost: float = 0.25
     use_ema: bool = True
+    # Compute dtype for the conv stacks (params stay float32). The quantizer,
+    # EMA statistics and distribution heads always run in float32: the
+    # pre-VQ 1x1 conv and the decoder's final transpose conv are left at
+    # dtype=None so their f32 params promote activations back up.
+    compute_dtype: Optional[str] = None
 
     def setup(self):
+        cdtype = (
+            jnp.dtype(self.compute_dtype)
+            if self.compute_dtype is not None
+            else None
+        )
         self.encoder_stack = ConvResidualEncoder(
             self.hidden_units, self.residual_blocks,
-            self.residual_hidden_units, name="encoder",
+            self.residual_hidden_units, dtype=cdtype, name="encoder",
         )
         self.pre_vq_conv = nn.Conv(
             self.embedding_dim, (1, 1),
@@ -270,7 +291,8 @@ class VQVAE(nn.Module):
         )
         self.decoder = ConvResidualDecoder(
             self.hidden_units, self.residual_blocks,
-            self.residual_hidden_units, self.output_channels, name="decoder",
+            self.residual_hidden_units, self.output_channels,
+            dtype=cdtype, name="decoder",
         )
 
     def encode(self, inputs: jnp.ndarray) -> jnp.ndarray:
@@ -315,6 +337,7 @@ class VQVAEPartialEncoder(nn.Module):
     hidden_units: int
     residual_blocks: int
     residual_hidden_units: int
+    compute_dtype: Optional[str] = None
 
     @classmethod
     def from_vqvae_config(cls, conditional_dim: int, vqvae_config: Dict,
@@ -324,14 +347,21 @@ class VQVAEPartialEncoder(nn.Module):
             hidden_units=vqvae_config["hidden_units"],
             residual_blocks=vqvae_config["residual_blocks"],
             residual_hidden_units=vqvae_config["residual_hidden_units"],
+            compute_dtype=vqvae_config.get("compute_dtype"),
             name=name,
         )
 
     @nn.compact
     def __call__(self, x_o_b: jnp.ndarray) -> jnp.ndarray:
+        cdtype = (
+            jnp.dtype(self.compute_dtype)
+            if self.compute_dtype is not None
+            else None
+        )
         h = ConvResidualEncoder(
             self.hidden_units, self.residual_blocks,
-            self.residual_hidden_units,
+            self.residual_hidden_units, dtype=cdtype,
         )(x_o_b)
         h = h.reshape((h.shape[0], -1))
+        # f32 Dense params promote the conditioning vector back to float32
         return Dense(self.conditional_dim)(h)

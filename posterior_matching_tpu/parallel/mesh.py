@@ -53,6 +53,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
-    """Device-puts a host batch with the leading axis sharded over the mesh."""
+    """Device-puts a host batch with the leading axis sharded over the mesh.
+
+    Single-host: a plain sharded ``device_put``. Multi-host (after
+    :func:`maybe_initialize_distributed`): each process contributes its local
+    shard and the result is a global array spanning the mesh
+    (``jax.make_array_from_process_local_data`` — host batches ride DCN only
+    to their own chips; gradients reduce over ICI)."""
     sharding = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        batch,
+    )

@@ -30,3 +30,11 @@ def configure_environment():
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # Multi-host: joins the jax.distributed cluster when a coordinator is
+    # configured (no-op single-host). Must run before any backend use.
+    from posterior_matching_tpu.parallel.mesh import (
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed()

@@ -89,6 +89,14 @@ class Trainer:
         prologue_fn: on-device batch preprocessing fused into the jitted step
             (mask generation, training noise).
         seed: RNG seed.
+        steps_per_call: fuse this many optimizer steps into ONE dispatched XLA
+            program (``lax.scan`` over the update). Amortizes host dispatch
+            and host->device transfer (batches for a chunk are stacked and
+            shipped once); with a :class:`DeviceDataset` the input pipeline
+            leaves the host entirely. Requires ``validation_freq`` divisible
+            by it. Only possible because masks/noise are generated on device
+            — the reference's host-side mask callback forces one dispatch per
+            step by construction (reference masking.py:342).
     """
 
     def __init__(
@@ -107,6 +115,7 @@ class Trainer:
         seed: Optional[int] = None,
         profile_dir: Optional[str] = None,
         profile_steps: tuple = (10, 15),
+        steps_per_call: int = 1,
     ):
         self._loss_fn = loss_fn
         self._init_fn = init_fn
@@ -122,6 +131,8 @@ class Trainer:
         self._seed = seed if seed is not None else np.random.randint(0, 2**31)
         self._profile_dir = profile_dir
         self._profile_steps = profile_steps
+        assert steps_per_call >= 1
+        self._steps_per_call = steps_per_call
 
         self.mesh = create_mesh(num_devices)
         self._batch_sharding = batch_sharding(self.mesh)
@@ -152,7 +163,9 @@ class Trainer:
             labels,
         )
 
-    def _make_train_step(self):
+    def _step_body(self):
+        """The single-update function ``(ts, batch, base_key) ->
+        (new_ts, metrics)`` shared by the per-step and scan-fused paths."""
         tx = self._tx
         loss_fn = self._loss_fn
         prologue = self._prologue_fn
@@ -206,7 +219,59 @@ class Trainer:
             metrics = dict(aux, loss=loss)
             return new_ts, metrics
 
-        return jax.jit(train_step, donate_argnums=(0,))
+        return train_step
+
+    def _make_train_step(self):
+        return jax.jit(self._step_body(), donate_argnums=(0,))
+
+    def _make_train_step_scan(self, num_steps: int):
+        """``(ts, stacked_batches, base_key) -> (new_ts, stacked_metrics)``:
+        ``num_steps`` updates in one XLA program. Batches arrive stacked on a
+        leading chunk axis (one transfer per chunk); per-step RNG is identical
+        to the per-step path (``fold_in(base_key, ts.step)``)."""
+        step = self._step_body()
+
+        def multi(ts, batches, base_key):
+            def body(carry, batch):
+                return step(carry, batch, base_key)
+
+            return jax.lax.scan(body, ts, batches, length=num_steps)
+
+        return jax.jit(multi, donate_argnums=(0,))
+
+    def _make_train_step_device_resident(self, num_steps: int, data, spec):
+        """``(ts, data, base_key) -> (new_ts, stacked_metrics)``:
+        ``num_steps`` updates with batches gathered from device-resident
+        arrays *inside* the program — zero host involvement per chunk."""
+        step = self._step_body()
+        batch_size, num_examples, transform = spec
+        batch_sharding = self._batch_sharding
+
+        def multi(ts, data, base_key):
+            def body(carry, _):
+                # separate stream from the loss/prologue keys (which fold in
+                # carry.step directly)
+                k_idx = jax.random.fold_in(
+                    jax.random.fold_in(base_key, 0x0DA7A), carry.step
+                )
+                idx = jax.random.randint(
+                    k_idx, (batch_size,), 0, num_examples
+                )
+                batch = jax.tree.map(lambda a: jnp.take(a, idx, 0), data)
+                # Without this constraint the replicated data arrays would
+                # propagate a replicated batch (no data parallelism): pin the
+                # gathered batch to the data axis so each chip gathers and
+                # computes only its slice.
+                batch = jax.lax.with_sharding_constraint(
+                    batch, batch_sharding
+                )
+                if transform is not None:
+                    batch = transform(batch)
+                return step(carry, batch, base_key)
+
+            return jax.lax.scan(body, ts, None, length=num_steps)
+
+        return jax.jit(multi, donate_argnums=(0,))
 
     def _make_val_step(self):
         loss_fn = self._loss_fn
@@ -254,9 +319,20 @@ class Trainer:
     # -- the loop -------------------------------------------------------------
 
     def _shard(self, batch):
+        from posterior_matching_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(batch, self.mesh)
+
+    def _shard_chunk(self, chunk):
+        """Device-puts a stacked [steps_per_call, batch, ...] chunk with the
+        BATCH axis (axis 1) sharded over the data mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from posterior_matching_tpu.parallel.mesh import DATA_AXIS
+
+        sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
         return jax.tree.map(
-            lambda x: jax.device_put(jnp.asarray(x), self._batch_sharding),
-            batch,
+            lambda x: jax.device_put(jnp.asarray(x), sharding), chunk
         )
 
     def fit(
@@ -275,6 +351,8 @@ class Trainer:
         full TrainState (params + optimizer state + step counter) — a
         capability the reference lacks entirely (its checkpoints only chain
         pipeline stages, SURVEY.md §5)."""
+        from posterior_matching_tpu.data.datasets import DeviceDataset
+
         def forever(ds):
             while True:
                 yielded = False
@@ -284,8 +362,19 @@ class Trainer:
                 if not yielded:
                     raise ValueError("empty dataset")
 
-        train_iter = forever(train_dataset)
-        first = next(train_iter)
+        device_resident = isinstance(train_dataset, DeviceDataset)
+        spc = self._steps_per_call
+        if spc > 1 and validation_freq % spc != 0:
+            raise ValueError(
+                f"validation_freq={validation_freq} must be divisible by "
+                f"steps_per_call={spc}"
+            )
+        if device_resident:
+            train_iter = None
+            first = train_dataset.example_batch()
+        else:
+            train_iter = forever(train_dataset)
+            first = next(train_iter)
 
         if resume_from is not None:
             ts = self.init(self._shard(first))  # builds tx for this config
@@ -305,7 +394,24 @@ class Trainer:
             ts = self.init(
                 self._shard(first), initial_params, initial_state
             )
-        self._train_step = self._make_train_step()
+        if device_resident:
+            data_dev = jax.tree.map(
+                lambda a: jax.device_put(jnp.asarray(a), self._replicated),
+                train_dataset.data,
+            )
+            spec = (
+                train_dataset.batch_size,
+                train_dataset.num_examples,
+                train_dataset.transform,
+            )
+            self._train_step = self._make_train_step_device_resident(
+                spc, data_dev, spec
+            )
+        elif spc > 1:
+            self._train_step = self._make_train_step_scan(spc)
+        else:
+            self._train_step = self._make_train_step()
+        tail_step = None  # per-step jit for a final chunk smaller than spc
         self._val_step = self._make_val_step()
 
         base_key = jax.device_put(
@@ -319,32 +425,68 @@ class Trainer:
 
         start_step = int(ts.step)
         batch = first
-        # Resume: replay the deterministic batch stream up to the checkpoint
-        # so the resumed run sees exactly the batches the original would have.
-        for _ in range(start_step):
-            batch = next(train_iter)
-        for step in range(start_step, steps):
-            if (
-                self._profile_dir is not None
-                and step - start_step == self._profile_steps[0]
-            ):
-                jax.profiler.start_trace(self._profile_dir)
-            ts, metrics = self._train_step(ts, self._shard(batch), base_key)
-            if (
-                self._profile_dir is not None
-                and step - start_step == self._profile_steps[1]
-            ):
-                jax.tree.map(
-                    lambda x: x.block_until_ready(),
-                    metrics,
-                )
-                jax.profiler.stop_trace()
-            pending_metrics.append(metrics)
-            steps_since_log += 1
-            if step + 1 < steps:
+        if not device_resident:
+            # Resume: replay the deterministic batch stream up to the
+            # checkpoint so the resumed run sees exactly the batches the
+            # original would have. (Device-resident sampling is keyed by the
+            # step counter — resume needs no replay.)
+            for _ in range(start_step):
                 batch = next(train_iter)
 
-            if (step + 1) % validation_freq == 0 or step + 1 == steps:
+        def next_chunk(k):
+            """Stacks the next k host batches on a leading chunk axis (ONE
+            transfer per chunk)."""
+            bs = [batch] + [next(train_iter) for _ in range(k - 1)]
+            return jax.tree.map(lambda *xs: np.stack(xs), *bs)
+
+        step = start_step
+        call_idx = 0
+        while step < steps:
+            k = min(spc, steps - step)
+            if (
+                self._profile_dir is not None
+                and call_idx == self._profile_steps[0]
+            ):
+                jax.profiler.start_trace(self._profile_dir)
+
+            if device_resident:
+                if k == spc:
+                    ts, metrics = self._train_step(ts, data_dev, base_key)
+                else:
+                    if tail_step is None:
+                        tail_step = self._make_train_step_device_resident(
+                            k, data_dev, spec
+                        )
+                    ts, metrics = tail_step(ts, data_dev, base_key)
+            elif spc > 1:
+                chunk = self._shard_chunk(next_chunk(k))
+                if step + k < steps:
+                    batch = next(train_iter)
+                if k == spc:
+                    ts, metrics = self._train_step(ts, chunk, base_key)
+                else:
+                    if tail_step is None:
+                        tail_step = self._make_train_step_scan(k)
+                    ts, metrics = tail_step(ts, chunk, base_key)
+            else:
+                ts, metrics = self._train_step(
+                    ts, self._shard(batch), base_key
+                )
+                if step + 1 < steps:
+                    batch = next(train_iter)
+
+            if (
+                self._profile_dir is not None
+                and call_idx == self._profile_steps[1]
+            ):
+                jax.tree.map(lambda x: x.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
+            call_idx += 1
+            pending_metrics.append(metrics)
+            steps_since_log += k
+            step += k
+
+            if step % validation_freq == 0 or step == steps:
                 logs = self._aggregate(pending_metrics)
                 pending_metrics = []
 
@@ -381,7 +523,7 @@ class Trainer:
                     for k, v in sorted(logs.items())
                     if np.ndim(v) == 0
                 )
-                log_fn(f"[step {step + 1}/{steps}] {msg}")
+                log_fn(f"[step {step}/{steps}] {msg}")
                 t_start = time.time()
                 steps_since_log = 0
 

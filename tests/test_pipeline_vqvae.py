@@ -143,3 +143,42 @@ def test_two_stage_pipeline(image_data):
         np.testing.assert_allclose(
             imp[:, s][bm == 1], np.asarray(x)[bm == 1]
         )
+
+
+def test_bf16_compute_dtype(image_data):
+    """compute_dtype='bfloat16' keeps params float32, emits float32 heads,
+    and the objective stays close to the f32 path."""
+    x = jnp.asarray(image_data[:8])
+    b = jnp.asarray(
+        (np.random.RandomState(1).rand(8, 16, 16, 1) > 0.3).astype(np.float32)
+    )
+
+    def build(dtype):
+        model = PMVQVAE.from_config(
+            16, VQ_CONFIG, PIXEL_CNN_CONFIG, compute_dtype=dtype
+        )
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, b, training=False,
+        )
+        ll = model.apply(variables, x, b, training=False)
+        return model, variables, ll
+
+    _, vars32, ll32 = build(None)
+    _, vars16, ll16 = build("bfloat16")
+
+    # identical init (params are created in f32 in both cases)
+    chex = jax.tree_util.tree_all(
+        jax.tree.map(
+            lambda a, b_: a.dtype == b_.dtype == jnp.float32
+            if jnp.issubdtype(a.dtype, jnp.floating) else True,
+            vars32["params"], vars16["params"],
+        )
+    )
+    assert chex
+    assert ll16.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(ll16)))
+    # bf16 conv stacks perturb but do not change the objective's scale
+    np.testing.assert_allclose(
+        np.asarray(ll16), np.asarray(ll32), rtol=0.1, atol=2.0
+    )

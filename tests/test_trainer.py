@@ -190,3 +190,82 @@ def test_prologue_runs_on_device():
     t = Trainer(loss_fn, init_fn, optax.adam(1e-2), prologue_fn=prologue, seed=0)
     t.fit(ds, steps=5, validation_freq=100)
     assert seen.get("mask")
+
+
+def test_steps_per_call_matches_per_step():
+    """A scan-fused run (steps_per_call=5) must produce EXACTLY the params of
+    the per-step run: same batches, same fold_in(base_key, step) RNG."""
+    ds, loss_fn, init_fn = _make_problem()
+    t1 = Trainer(loss_fn, init_fn, optax.adam(1e-2), seed=0)
+    ts1 = t1.fit(ds, steps=20, validation_freq=20)
+    ds2, _, _ = _make_problem()
+    t5 = Trainer(loss_fn, init_fn, optax.adam(1e-2), seed=0, steps_per_call=5)
+    ts5 = t5.fit(ds2, steps=20, validation_freq=20)
+    assert int(ts5.step) == 20
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        jax.device_get(ts1.params),
+        jax.device_get(ts5.params),
+    )
+
+
+def test_steps_per_call_tail_chunk():
+    """steps not divisible by steps_per_call: the tail runs as a smaller
+    scan and the step counter still lands exactly on `steps`."""
+    ds, loss_fn, init_fn = _make_problem()
+    t = Trainer(loss_fn, init_fn, optax.adam(1e-2), seed=0, steps_per_call=8)
+    ts = t.fit(ds, steps=19, validation_freq=64)
+    assert int(ts.step) == 19
+
+
+def test_steps_per_call_validation_freq_check():
+    ds, loss_fn, init_fn = _make_problem()
+    t = Trainer(loss_fn, init_fn, optax.adam(1e-2), seed=0, steps_per_call=7)
+    with pytest.raises(ValueError):
+        t.fit(ds, steps=20, validation_freq=10)
+
+
+def test_device_resident_dataset_trains():
+    """DeviceDataset + steps_per_call: zero host batches per chunk; loss
+    decreases; batch stays sharded over the 8-device mesh."""
+    from posterior_matching_tpu.data.datasets import DeviceDataset
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(256, 4).astype(np.float32)
+    _, loss_fn, init_fn = _make_problem()
+    dds = DeviceDataset({"features": x}, batch_size=32)
+    logs = []
+    t = Trainer(
+        loss_fn, init_fn, optax.adam(1e-2), num_devices=8, seed=0,
+        steps_per_call=10,
+    )
+    ts = t.fit(dds, steps=100, validation_freq=50,
+               log_fn=lambda m: logs.append(m))
+    assert int(ts.step) == 100
+    first = float(logs[0].split("loss=")[1].split()[0])
+    last = float(logs[-1].split("loss=")[1].split()[0])
+    assert last < first
+
+
+def test_device_resident_transform_applied():
+    """The on-device transform (e.g. uint8 -> f32 rescale) runs inside the
+    jitted chunk."""
+    from posterior_matching_tpu.data.datasets import DeviceDataset
+
+    rng = np.random.RandomState(0)
+    x_u8 = rng.randint(0, 256, (64, 4)).astype(np.uint8)
+
+    def transform(batch):
+        return {"features": batch["features"].astype(jnp.float32) / 255.0}
+
+    _, loss_fn, init_fn = _make_problem()
+    dds = DeviceDataset({"features": x_u8}, batch_size=16,
+                        transform=transform)
+    eb = dds.example_batch()
+    assert eb["features"].dtype == np.float32
+    assert eb["features"].max() <= 1.0
+    t = Trainer(loss_fn, init_fn, optax.adam(1e-2), seed=0, steps_per_call=4)
+    ts = t.fit(dds, steps=8, validation_freq=8)
+    assert int(ts.step) == 8

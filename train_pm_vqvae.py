@@ -98,6 +98,7 @@ def main(_):
         config.conditional_dim,
         vqvae_config,
         config.pixel_cnn.to_dict(),
+        compute_dtype=config.get("compute_dtype", None),
     )
 
     def loss_fn(params, state, key, step, batch, is_training):
