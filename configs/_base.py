@@ -14,6 +14,12 @@ def config_from(d: dict) -> ConfigDict:
             return ConfigDict({k: conv(x) for k, x in v.items()})
         return v
 
+    d = dict(d)
+    # Execution knobs available (and CLI-overridable) on every config:
+    # fuse K optimizer steps per dispatched XLA program, and keep training
+    # data HBM-resident with on-device batch gather (see train/trainer.py).
+    d.setdefault("steps_per_call", 1)
+    d.setdefault("device_resident_data", False)
     return ConfigDict({k: conv(v) for k, v in d.items()})
 
 

@@ -143,6 +143,26 @@ class ArrayDataset:
     def as_numpy_iterator(self):
         return iter(self)
 
+    def to_device_resident(self) -> "DeviceDataset":
+        """Materializes the host transform once over the whole dataset (in
+        deterministic order) and returns a :class:`DeviceDataset`, so
+        training batches are gathered on device instead of assembled on host.
+        Pair with ``Trainer(steps_per_call=K)`` to remove the host from the
+        input path entirely."""
+        full = ArrayDataset(
+            self._data,
+            batch_size=self._batch_size,
+            shuffle=False,
+            drop_remainder=False,
+            transform=self._transform,
+        )
+        batches = list(iter(full))
+        data = {
+            k: np.concatenate([b[k] for b in batches])
+            for k in batches[0]
+        }
+        return DeviceDataset(data, self._batch_size)
+
 
 class DeviceDataset:
     """Training data resident in device HBM (replicated per chip).
@@ -186,6 +206,15 @@ class DeviceDataset:
 
             batch = jax.device_get(jax.jit(self.transform)(batch))
         return batch
+
+    @property
+    def element_spec(self) -> Dict[str, Tuple]:
+        """Post-transform batch spec, same contract as ArrayDataset's."""
+        eb = self.example_batch()
+        return {
+            k: (tuple([self.batch_size, *v.shape[1:]]), v.dtype)
+            for k, v in eb.items()
+        }
 
 
 def _resize_batch(images: np.ndarray, size: Tuple[int, int]) -> np.ndarray:

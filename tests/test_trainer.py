@@ -269,3 +269,22 @@ def test_device_resident_transform_applied():
     t = Trainer(loss_fn, init_fn, optax.adam(1e-2), seed=0, steps_per_call=4)
     ts = t.fit(dds, steps=8, validation_freq=8)
     assert int(ts.step) == 8
+
+
+def test_to_device_resident_materializes_transform():
+    """ArrayDataset.to_device_resident applies the host transform once and
+    preserves every example in order."""
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 256, (50, 3)).astype(np.uint8)
+
+    def transform(batch):
+        return {"features": batch["features"].astype(np.float32) / 255.0}
+
+    ds = ArrayDataset({"features": x}, batch_size=16, transform=transform)
+    dds = ds.to_device_resident()
+    assert dds.num_examples == 50  # remainder batch kept
+    np.testing.assert_allclose(
+        dds.data["features"], x.astype(np.float32) / 255.0
+    )
+    spec = dds.element_spec
+    assert spec["features"] == ((16, 3), np.dtype(np.float32))

@@ -46,6 +46,10 @@ def main(_):
         config.seed = random.randint(0, int(2e9))
 
     train_dataset, val_dataset = load_datasets(config.data)
+    if config.get("device_resident_data", False):
+        # HBM-resident training data + on-device batch gather; pair
+        # with config.steps_per_call to remove the host input path.
+        train_dataset = train_dataset.to_device_resident()
     data_key = "image" if "image" in train_dataset.element_spec else "features"
 
     with open(os.path.join(config.pm_vae_dir, "model_config.json")) as fp:
@@ -102,6 +106,7 @@ def main(_):
         trainable_predicate=trainable_predicate,
         num_devices=1,
         seed=config.seed,
+        steps_per_call=config.get("steps_per_call", 1),
         prologue_fn=make_prologue(config.data.to_dict()),
         val_prologue_fn=make_val_prologue(config.data.to_dict()),
     )

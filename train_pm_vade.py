@@ -47,6 +47,10 @@ def main(_):
     config.lock()
 
     train_dataset, val_dataset = load_datasets(config.data)
+    if config.get("device_resident_data", False):
+        # HBM-resident training data + on-device batch gather; pair
+        # with config.steps_per_call to remove the host input path.
+        train_dataset = train_dataset.to_device_resident()
     data_key = "image" if "image" in train_dataset.element_spec else "features"
 
     model = PosteriorMatchingVADE.from_config(config.model.to_dict())
@@ -94,6 +98,7 @@ def main(_):
         num_devices=1,
         trainable_predicate=trainable_predicate,
         seed=config.seed,
+        steps_per_call=config.get("steps_per_call", 1),
         prologue_fn=make_prologue(config.data.to_dict()),
         val_prologue_fn=make_val_prologue(config.data.to_dict()),
     )

@@ -48,6 +48,10 @@ def main(_):
     config.lock()
 
     train_dataset, val_dataset = load_datasets(config.data)
+    if config.get("device_resident_data", False):
+        # HBM-resident training data + on-device batch gather; pair
+        # with config.steps_per_call to remove the host input path.
+        train_dataset = train_dataset.to_device_resident()
     is_image_data = "image" in train_dataset.element_spec
     data_key = "image" if is_image_data else "features"
 
@@ -101,6 +105,7 @@ def main(_):
         optimizer,
         num_devices=1,
         seed=config.seed,
+        steps_per_call=config.get("steps_per_call", 1),
         prologue_fn=make_prologue(config.data),
         val_prologue_fn=make_val_prologue(config.data),
     )

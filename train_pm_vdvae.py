@@ -115,6 +115,10 @@ def main(_):
     train_dataset, val_dataset = load_datasets(
         data_config, normalize_images=False
     )
+    if config.get("device_resident_data", False):
+        # HBM-resident training data + on-device batch gather; pair
+        # with config.steps_per_call to remove the host input path.
+        train_dataset = train_dataset.to_device_resident()
 
     model = PosteriorMatchingVDVAE.from_config(config.model.to_dict())
     image_dims = math.prod(config.model.image_shape)
@@ -168,6 +172,7 @@ def main(_):
         optimizer,
         num_devices=num_devices,
         seed=config.seed,
+        steps_per_call=config.get("steps_per_call", 1),
         skip_nonfinite_updates=True,
         ema_rate=config.get("ema_rate", 0.999),
         use_ema_for_eval=True,

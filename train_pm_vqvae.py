@@ -84,6 +84,10 @@ def main(_):
         config.seed = random.randint(0, int(2e9))
 
     train_dataset, val_dataset = load_datasets(config.data)
+    if config.get("device_resident_data", False):
+        # HBM-resident training data + on-device batch gather; pair
+        # with config.steps_per_call to remove the host input path.
+        train_dataset = train_dataset.to_device_resident()
 
     with open(os.path.join(config.vqvae_dir, "model_config.json")) as fp:
         vqvae_config = json.load(fp)
@@ -142,6 +146,7 @@ def main(_):
         trainable_predicate=trainable_predicate,
         num_devices=1,
         seed=config.seed,
+        steps_per_call=config.get("steps_per_call", 1),
         prologue_fn=prologue,
         val_prologue_fn=make_val_prologue(config.data),
     )

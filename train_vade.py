@@ -62,6 +62,10 @@ def main(_):
     config.lock()
 
     train_dataset, val_dataset = load_datasets(config.data)
+    if config.get("device_resident_data", False):
+        # HBM-resident training data + on-device batch gather; pair
+        # with config.steps_per_call to remove the host input path.
+        train_dataset = train_dataset.to_device_resident()
     data_key = "image" if "image" in train_dataset.element_spec else "features"
 
     model = VADE.from_config(config.model.to_dict())
@@ -166,7 +170,8 @@ def main(_):
     )
 
     trainer = Trainer(
-        loss_fn, init_fn, optimizer, num_devices=1, seed=config.seed
+        loss_fn, init_fn, optimizer, num_devices=1, seed=config.seed,
+        steps_per_call=config.get("steps_per_call", 1),
     )
 
     callbacks = [

@@ -68,6 +68,10 @@ def main(_):
     config.lock()
 
     train_dataset, val_dataset = load_datasets(config.data)
+    if config.get("device_resident_data", False):
+        # HBM-resident training data + on-device batch gather; pair
+        # with config.steps_per_call to remove the host input path.
+        train_dataset = train_dataset.to_device_resident()
 
     model = VQVAE(**config.model.to_dict())
 
@@ -98,6 +102,7 @@ def main(_):
         optax.adam(config.learning_rate),
         num_devices=1,
         seed=config.seed,
+        steps_per_call=config.get("steps_per_call", 1),
     )
 
     run_dir = make_run_dir(prefix=f"vqvae-{config.data.dataset}")
