@@ -4,6 +4,8 @@ Note: ``train_batch_size`` is the per-device batch size; the reference's
 paper models trained on 8 TPUv3 cores (global batch 128) — our trainer scales
 the global batch by the mesh size the same way.
 """
+from ml_collections import config_dict
+
 from configs._base import config_from
 
 
@@ -28,6 +30,9 @@ def get_config():
                 "no_bias_above": 64,
                 "num_mixtures": 10,
                 "custom_width_string": None,
+                # set to "bfloat16" for MXU-rate bottleneck convs (params
+                # and all distribution parameters stay float32)
+                "compute_dtype": config_dict.placeholder(str),
             },
             "ema_rate": 0.999,
             "gradient_clip": 200.0,

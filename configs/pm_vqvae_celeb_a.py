@@ -1,6 +1,8 @@
 """Stage-2 PM-VQVAE on CelebA (reference configs/pm_vqvae_celeb_a.py).
 
 The north-star benchmark workload (BASELINE.md)."""
+from ml_collections import config_dict
+
 from configs._base import config_from
 
 
@@ -25,6 +27,9 @@ def get_config():
                 "dropout": 0.5,
             },
             "conditional_dim": 512,
+            # "bfloat16" runs all three submodules' conv stacks at
+            # MXU bf16 rate (params/heads stay f32)
+            "compute_dtype": config_dict.placeholder(str),
             "steps": 150000,
             "validation_freq": 2000,
             "lr_schedule": {

@@ -1,4 +1,6 @@
 """Stage-2 PM-VQVAE on MNIST (reference configs/pm_vqvae_mnist.py)."""
+from ml_collections import config_dict
+
 from configs._base import config_from
 
 
@@ -23,6 +25,9 @@ def get_config():
                 "dropout": 0.5,
             },
             "conditional_dim": 512,
+            # "bfloat16" runs all three submodules' conv stacks at
+            # MXU bf16 rate (params/heads stay f32)
+            "compute_dtype": config_dict.placeholder(str),
             "steps": 120000,
             "validation_freq": 1000,
             "lr_schedule": {

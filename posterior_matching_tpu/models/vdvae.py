@@ -76,12 +76,13 @@ def get_width_settings(width: int, s: Optional[str]):
     return mapping
 
 
-def _conv(out_dim, kernel, name=None, w_init=None):
+def _conv(out_dim, kernel, name=None, w_init=None, dtype=None):
     return nn.Conv(
         out_dim,
         (kernel, kernel),
         padding="SAME" if kernel > 1 else "VALID",
         kernel_init=w_init or _trunc_normal_fan_in,
+        dtype=dtype,
         name=name,
     )
 
@@ -112,13 +113,29 @@ class Block(nn.Module):
     use_3x3: bool = True
     zero_last: bool = False
     out_init_multiple: Optional[float] = None
+    # Compute dtype for the internal bottleneck convs (c1-c3, where the
+    # FLOPs are); the final c4 conv is left at dtype=None so its f32 params
+    # promote the block output — and any distribution parameters computed
+    # from it — back to float32. Params always stay float32.
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
+        cdtype = (
+            jnp.dtype(self.compute_dtype)
+            if self.compute_dtype is not None
+            else None
+        )
         k = 3 if self.use_3x3 else 1
-        h = _conv(self.middle_width, 1, name="c1")(jax.nn.gelu(x))
-        h = _conv(self.middle_width, k, name="c2")(jax.nn.gelu(h))
-        h = _conv(self.middle_width, k, name="c3")(jax.nn.gelu(h))
+        h = _conv(self.middle_width, 1, name="c1", dtype=cdtype)(
+            jax.nn.gelu(x)
+        )
+        h = _conv(self.middle_width, k, name="c2", dtype=cdtype)(
+            jax.nn.gelu(h)
+        )
+        h = _conv(self.middle_width, k, name="c3", dtype=cdtype)(
+            jax.nn.gelu(h)
+        )
         if self.zero_last:
             h = _zero_conv(self.out_width, name="c4")(jax.nn.gelu(h))
         elif self.out_init_multiple is not None:
@@ -156,6 +173,7 @@ class Encoder(nn.Module):
     bottleneck_multiple: float
     custom_width_string: Optional[str] = None
     remat: bool = False
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x) -> Dict[int, jnp.ndarray]:
@@ -174,6 +192,7 @@ class Encoder(nn.Module):
                 residual=True,
                 use_3x3=res > 2,
                 out_init_multiple=float(np.sqrt(1.0 / len(blocks))),
+                compute_dtype=self.compute_dtype,
                 name=f"block_{i}",
             )(h)
             cur_res = h.shape[1]
@@ -239,6 +258,7 @@ class DecoderBlock(nn.Module):
     width: int
     bottleneck_multiple: float
     custom_width_string: Optional[str] = None
+    compute_dtype: Optional[str] = None
 
     def setup(self):
         widths = get_width_settings(self.width, self.custom_width_string)
@@ -247,18 +267,19 @@ class DecoderBlock(nn.Module):
         use_3x3 = self.res > 2
         mid = int(w * self.bottleneck_multiple)
         ld = self.latent_dim
+        cd = self.compute_dtype
 
         self.posterior_block = Block(
             mid, ld * 2, residual=False, use_3x3=use_3x3,
-            name="posterior",
+            compute_dtype=cd, name="posterior",
         )
         self.masked_posterior_block = Block(
             mid, ld + tril_size(ld), residual=False, use_3x3=use_3x3,
-            name="masked_posterior",
+            compute_dtype=cd, name="masked_posterior",
         )
         self.prior_block = Block(
             mid, ld * 2 + w, residual=False, use_3x3=use_3x3,
-            zero_last=True, name="prior",
+            zero_last=True, compute_dtype=cd, name="prior",
         )
         self.z_proj = nn.Conv(
             w, (1, 1), padding="VALID",
@@ -268,7 +289,7 @@ class DecoderBlock(nn.Module):
         self.resnet = Block(
             mid, w, residual=True, use_3x3=use_3x3,
             out_init_multiple=float(np.sqrt(1.0 / self.num_blocks)),
-            name="resnet",
+            compute_dtype=cd, name="resnet",
         )
 
     # -- distribution builders ------------------------------------------------
@@ -422,6 +443,7 @@ class Decoder(nn.Module):
     no_bias_above: int
     num_mixtures: int
     custom_width_string: Optional[str] = None
+    compute_dtype: Optional[str] = None
 
     def setup(self):
         widths = get_width_settings(self.width, self.custom_width_string)
@@ -436,6 +458,7 @@ class Decoder(nn.Module):
                 width=self.width,
                 bottleneck_multiple=self.bottleneck_multiple,
                 custom_width_string=self.custom_width_string,
+                compute_dtype=self.compute_dtype,
                 name=f"block_{i}",
             )
             for i, (res, mixin) in enumerate(block_specs)
@@ -526,6 +549,9 @@ class PosteriorMatchingVDVAE(nn.Module):
     # rematerialize encoder blocks in the backward pass (trades FLOPs for
     # HBM on deep stacks; not a reference option)
     remat: bool = False
+    # bf16 compute inside the bottleneck blocks; all distribution parameters
+    # (posterior/prior locs and scales, TriL factors, DMoL params) stay f32
+    compute_dtype: Optional[str] = None
 
     @classmethod
     def from_config(cls, config: Dict[str, Any], name: Optional[str] = None):
@@ -536,12 +562,13 @@ class PosteriorMatchingVDVAE(nn.Module):
     def setup(self):
         self.encoder = Encoder(
             self.width, self.encoder_blocks, self.bottleneck_multiple,
-            self.custom_width_string, remat=self.remat, name="encoder",
+            self.custom_width_string, remat=self.remat,
+            compute_dtype=self.compute_dtype, name="encoder",
         )
         self.masked_encoder = Encoder(
             self.width, self.encoder_blocks, self.bottleneck_multiple,
             self.custom_width_string, remat=self.remat,
-            name="masked_encoder",
+            compute_dtype=self.compute_dtype, name="masked_encoder",
         )
         self.decoder = Decoder(
             latent_dim=self.latent_dim,
@@ -553,6 +580,7 @@ class PosteriorMatchingVDVAE(nn.Module):
             no_bias_above=self.no_bias_above,
             num_mixtures=self.num_mixtures,
             custom_width_string=self.custom_width_string,
+            compute_dtype=self.compute_dtype,
             name="decoder",
         )
 

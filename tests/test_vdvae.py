@@ -164,3 +164,37 @@ def test_training_step_reduces_loss(tiny_model):
         params, opt_state, loss = step(params, opt_state, k)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_bf16_compute_dtype():
+    """compute_dtype='bfloat16' keeps params f32, all losses/stats f32 and
+    finite, and the objective close to the f32 path."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(0, 256, (2, 8, 8, 1)).astype(np.float32))
+    b = jnp.asarray((rng.rand(2, 8, 8, 1) > 0.3).astype(np.float32))
+
+    def run(dtype):
+        model = PosteriorMatchingVDVAE.from_config(
+            dict(TINY_CONFIG, compute_dtype=dtype)
+        )
+        rngs = {
+            "params": jax.random.PRNGKey(0),
+            "sample": jax.random.PRNGKey(1),
+        }
+        variables = model.init(rngs, x, b)
+        out = model.apply(
+            variables, x, b, rngs={"sample": jax.random.PRNGKey(1)}
+        )
+        return variables, out
+
+    v32, o32 = run(None)
+    v16, o16 = run("bfloat16")
+    assert jax.tree_util.tree_all(
+        jax.tree.map(lambda a: a.dtype == jnp.float32, v16["params"])
+    )
+    for k in ("reconstruction_ll", "kl", "pm_kl"):
+        assert o16[k].dtype == jnp.float32
+        assert np.all(np.isfinite(np.asarray(o16[k])))
+        np.testing.assert_allclose(
+            np.asarray(o16[k]), np.asarray(o32[k]), rtol=0.15, atol=3.0
+        )
