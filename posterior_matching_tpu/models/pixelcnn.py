@@ -316,10 +316,16 @@ def pixelcnn_sample(
         key, x = state
         key, k = jax.random.split(key)
         logits = logits_fn(x, cond)
-        samples = jax.random.categorical(k, logits, axis=-1).astype(jnp.int32)
         row = i // w
         col = i % w
-        update = jax.lax.dynamic_slice(samples, (0, row, col), (n_rows, 1, 1))
+        # sample only the current pixel's categorical (the rest of the grid's
+        # logits are places we haven't reached or won't change)
+        pixel_logits = jax.lax.dynamic_slice(
+            logits, (0, row, col, 0), (n_rows, 1, 1, logits.shape[-1])
+        )[:, 0, 0, :]
+        update = jax.random.categorical(k, pixel_logits, axis=-1).astype(
+            jnp.int32
+        )[:, None, None]
         x = jax.lax.dynamic_update_slice(x, update, (0, row, col))
         return key, x
 

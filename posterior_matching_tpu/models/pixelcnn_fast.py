@@ -1,0 +1,324 @@
+"""Incrementally-cached PixelCNN raster sampling.
+
+The naive sampler (``pixelcnn.pixelcnn_sample``) runs one FULL-GRID network
+forward per pixel — H*W forwards of O(H*W) conv work each, the hot loop of
+PM-VQVAE evaluation (reference pixel_cnn.py:102-123 does the same, per
+instance). This module exploits the network's causal structure to make each
+pixel O(1) network work instead:
+
+- every *vertical-stack* tensor at row ``r`` depends only on rows ``< r``
+  (through ``v_init``) and on the same row of its own input — so the whole
+  vertical family (v_init, up/down vertical gated blocks) is computed for a
+  full row in ONE batched pass per row;
+- every *horizontal-stack* tensor at ``(r, c)`` depends on its input at
+  ``(r-1, c-1..c)`` and ``(r, c-1..c)`` only — so the per-pixel step runs
+  just the horizontal chain (2*num_resnet gated blocks + init + logits head)
+  on cached rows: a handful of ``[B, C] @ [C, C']`` matmuls.
+
+Total work drops from O((H*W)^2) conv fields to O(H*W) — ~256x fewer FLOPs
+for a 16x16 grid. Samples are bit-compatible with the naive sampler's
+distribution (same per-pixel key sequence, same categorical; logits agree to
+float rounding — see tests/test_pixelcnn_fast.py for the equality check).
+
+Supports ``num_hierarchies == 1`` (the configuration of every shipped config,
+reference configs/pm_vqvae_{mnist,celeb_a}.py); callers fall back to the
+naive sampler otherwise. Compute is always f32.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from posterior_matching_tpu.models.pixelcnn import PixelCNN, concat_elu
+
+
+def _conv_taps(params, valid_rows, valid_cols):
+    """Masked-conv params -> (list[(dy, dx, w[in,out])], bias)."""
+    kernel = params["Conv_0"]["kernel"]
+    bias = params["Conv_0"]["bias"]
+    kh, kw = kernel.shape[:2]
+    cy, cx = kh // 2, kw // 2
+    taps = [
+        (ky - cy, kx - cx, kernel[ky, kx])
+        for ky in range(valid_rows[0], valid_rows[1])
+        for kx in range(valid_cols[0], valid_cols[1])
+    ]
+    return taps, bias
+
+
+def _dense(params, x):
+    return x @ params["kernel"] + params["bias"]
+
+
+def _shift_cols(x, dx):
+    """[B, W, C] shifted so out[:, c] = x[:, c + dx] (zero padded)."""
+    if dx == 0:
+        return x
+    w = x.shape[1]
+    if dx < 0:
+        return jnp.pad(x, ((0, 0), (-dx, 0), (0, 0)))[:, :w]
+    return jnp.pad(x, ((0, 0), (0, dx), (0, 0)))[:, dx:]
+
+
+def _row_conv(taps, bias, rows):
+    """Applies a masked conv along one full row. ``rows[dy]`` is the conv
+    INPUT row at offset dy, [B, W, Cin]."""
+    acc = None
+    for dy, dx, w in taps:
+        # conv output at col c sums input[c + dx] (SAME padding)
+        term = _shift_cols(rows[dy], dx) @ w
+        acc = term if acc is None else acc + term
+    return acc + bias
+
+
+def pixelcnn_sample_fast(
+    pixel_cnn: PixelCNN,
+    params,
+    key: jax.Array,
+    num_samples: int,
+    conditional_input: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Drop-in replacement for :func:`pixelcnn.pixelcnn_sample` on
+    ``num_hierarchies == 1`` networks. ``params`` is the PixelCNN module's own
+    param subtree. Returns [num_samples, B, H, W] int32 (or
+    [num_samples, H, W] unconditional)."""
+    if pixel_cnn.num_hierarchies != 1:
+        raise ValueError("fast sampler supports num_hierarchies == 1 only")
+
+    f = pixel_cnn.num_filters
+    hgt, wid = pixel_cnn.image_shape
+    n_res = pixel_cnn.num_resnet
+    rows_rf, cols_rf = pixel_cnn.receptive_field_dims
+
+    if conditional_input is not None:
+        bsz = conditional_input.shape[0]
+        cond = jnp.broadcast_to(
+            conditional_input[None], (num_samples, *conditional_input.shape)
+        ).reshape((num_samples * bsz, -1)).astype(jnp.float32)
+        n = num_samples * bsz
+    else:
+        bsz = None
+        cond = None
+        n = num_samples
+
+    # -- static parameter extraction (mirrors PixelCNN.__call__) -------------
+    # jnp.asarray: checkpoint-loaded params are host numpy arrays, which
+    # cannot be indexed by traced sample values
+    embed = jnp.asarray(params["embed"]["embedding"], jnp.float32)
+
+    v_valid = (rows_rf - 1, cols_rf)  # "vertical" valid (rows, cols)
+    h_valid = (2, cols_rf // 2 + 1)  # "horizontal"
+    vinit = _conv_taps(params["v_init"], (0, rows_rf - 1), (0, cols_rf))
+    hup = _conv_taps(params["h_init_up"], (0, 1), (0, cols_rf))
+    hleft = _conv_taps(params["h_init_left"], (0, 2), (0, cols_rf // 2))
+
+    def block_params(tag, has_aux):
+        p = {
+            "a": _conv_taps(
+                params[f"{tag}_conv_a"],
+                (0, v_valid[0] if "vertical" in tag else h_valid[0]),
+                (0, v_valid[1] if "vertical" in tag else h_valid[1]),
+            ),
+            "b": _conv_taps(
+                params[f"{tag}_conv_b"],
+                (0, v_valid[0] if "vertical" in tag else h_valid[0]),
+                (0, v_valid[1] if "vertical" in tag else h_valid[1]),
+            ),
+            "aux": params.get(f"{tag}_aux") if has_aux else None,
+            # conditional projection precomputed once per block below
+            "cond": params.get(f"{tag}_cond_proj"),
+        }
+        return p
+
+    up_v = [block_params(f"up_0_{r}_vertical", False) for r in range(n_res)]
+    up_h = [block_params(f"up_0_{r}_horizontal", True) for r in range(n_res)]
+    dn_v = [block_params(f"dn_0_{r}_vertical", True) for r in range(n_res)]
+    dn_h = [block_params(f"dn_0_{r}_horizontal", True) for r in range(n_res)]
+
+    def cond_proj(bp):
+        if cond is None or bp["cond"] is None:
+            return jnp.zeros((n, 2 * f), jnp.float32)
+        return _dense(bp["cond"], cond)
+
+    cp = {
+        "up_v": [cond_proj(b) for b in up_v],
+        "up_h": [cond_proj(b) for b in up_h],
+        "dn_v": [cond_proj(b) for b in dn_v],
+        "dn_h": [cond_proj(b) for b in dn_h],
+    }
+
+    logits_w = params["logits_conv"]["kernel"][0, 0]
+    logits_b = params["logits_conv"]["bias"]
+    num_idx = logits_w.shape[-1]
+
+    kv = 2 * n_res + 1  # V_0..V_R, W_1..W_R (W_0 aliases V_R)
+    kh = 2 * n_res + 1  # T_0..T_R, D_1..D_R (D_0 aliases T_R)
+
+    def gated_row(bp, cproj, in_prev, in_cur, m_prev, aux_row):
+        """One vertical gated block over a full row.
+        Returns (out_row, m_row)."""
+        a = _row_conv(
+            *bp["a"], {-1: concat_elu(in_prev), 0: concat_elu(in_cur)}
+        )
+        if aux_row is not None:
+            a = a + _dense(bp["aux"], concat_elu(aux_row))
+        m = concat_elu(a)
+        b = _row_conv(*bp["b"], {-1: m_prev, 0: m}) + cproj[:, None, :]
+        act, gate = jnp.split(b, 2, axis=-1)
+        return in_cur + jax.nn.sigmoid(gate) * act, m
+
+    def row_pass(h0buf, vprev, vmprev):
+        """Computes every vertical-family tensor for the current row.
+        ``vprev[k]``: previous row of vertical tensor k (V_0..V_R, W_1..W_R);
+        ``vmprev[j]``: previous row of vertical intermediate j (up then dn).
+        Returns (v_rows list, w_rows list, new vprev, new vmprev, hup_row)."""
+        h0_m2 = h0buf[:, 0, 1:, :]
+        h0_m1 = h0buf[:, 1, 1:, :]
+        v_rows = [_row_conv(*vinit, {-2: h0_m2, -1: h0_m1})]
+        m_rows = []
+        for i in range(n_res):
+            out, m = gated_row(
+                up_v[i], cp["up_v"][i],
+                vprev[i], v_rows[i], vmprev[i], None,
+            )
+            v_rows.append(out)
+            m_rows.append(m)
+        w_rows = [v_rows[n_res]]  # W_0 = V_R
+        for i in range(n_res):
+            # skip for down vertical block i is V_{R-1-i} (stack pop order)
+            out, m = gated_row(
+                dn_v[i], cp["dn_v"][i],
+                vprev[n_res + i], w_rows[i], vmprev[n_res + i],
+                v_rows[n_res - 1 - i],
+            )
+            w_rows.append(out)
+            m_rows.append(m)
+        hup_row = _row_conv(*hup, {-1: h0_m1})
+        new_vprev = jnp.stack(v_rows + w_rows[1:])
+        new_vmprev = jnp.stack(m_rows)
+        return v_rows, w_rows, new_vprev, new_vmprev, hup_row
+
+    def at(buf, row, col):
+        """[B, C] value of buffer [B, 2, W+1, C] at (row, padded col)."""
+        return jax.lax.dynamic_slice(
+            buf, (0, row, col, 0), (buf.shape[0], 1, 1, buf.shape[-1])
+        )[:, 0, 0, :]
+
+    def put(buf, row, col, val):
+        return jax.lax.dynamic_update_slice(
+            buf, val[:, None, None, :], (0, row, col, 0)
+        )
+
+    def gated_pixel(bp, cproj, in_buf, m_buf, in_cur, aux_val, c):
+        """One horizontal gated block at one pixel. ``in_buf``/``m_buf`` are
+        the block input / intermediate row caches [B, 2, W+1, C]; ``in_cur``
+        is the input value at (r, c) (computed earlier in this pixel's
+        chain). Returns (out_val, m_val). Taps: (-1,-1), (-1,0), (0,-1),
+        (0,0) — padded col index: c-1 -> c, c -> c+1."""
+        (taps_a, bias_a), (taps_b, bias_b) = bp["a"], bp["b"]
+        a = bias_a
+        for dy, dx, w in taps_a:
+            if (dy, dx) == (0, 0):
+                v = concat_elu(in_cur)
+            else:
+                v = concat_elu(at(in_buf, dy + 1, c + 1 + dx))
+            a = a + v @ w
+        if aux_val is not None and bp["aux"] is not None:
+            a = a + _dense(bp["aux"], concat_elu(aux_val))
+        m = concat_elu(a)
+        b = bias_b + cproj
+        for dy, dx, w in taps_b:
+            v = m if (dy, dx) == (0, 0) else at(m_buf, dy + 1, c + 1 + dx)
+            b = b + v @ w
+        act, gate = jnp.split(b, 2, axis=-1)
+        return in_cur + jax.nn.sigmoid(gate) * act, m
+
+    def row_body(carry, _):
+        h0buf, vprev, vmprev, hbuf, hmbuf, key = carry
+        v_rows, w_rows, vprev, vmprev, hup_row = row_pass(
+            h0buf, vprev, vmprev
+        )
+
+        def col_body(inner, c):
+            h0buf, hbuf, hmbuf, key = inner
+            # T_0 = h_init: row-parallel up-stack part + h_left (per pixel)
+            hl = hleft[1]
+            for dy, dx, w in hleft[0]:  # taps: (-1,-1) and (0,-1) on h0
+                hl = hl + at(h0buf[:, 1:, :, :], dy + 1, c + 1 + dx) @ w
+            cur = [
+                jax.lax.dynamic_slice(
+                    hup_row, (0, c, 0), (n, 1, f)
+                )[:, 0, :] + hl
+            ]
+            hbuf = hbuf.at[0].set(put(hbuf[0], 1, c + 1, cur[0]))
+            new_hm = hmbuf
+            # up horizontal blocks: aux = V_i at (r, c)
+            for i in range(n_res):
+                aux = jax.lax.dynamic_slice(
+                    v_rows[i + 1], (0, c, 0), (n, 1, f)
+                )[:, 0, :]
+                out, m = gated_pixel(
+                    up_h[i], cp["up_h"][i], hbuf[i], new_hm[i], cur[i],
+                    aux, c,
+                )
+                cur.append(out)
+                hbuf = hbuf.at[i + 1].set(put(hbuf[i + 1], 1, c + 1, out))
+                new_hm = new_hm.at[i].set(put(new_hm[i], 1, c + 1, m))
+            # down horizontal blocks: aux = concat(W_i, skip T_{R-1-i})
+            for i in range(n_res):
+                wv = jax.lax.dynamic_slice(
+                    w_rows[i + 1], (0, c, 0), (n, 1, f)
+                )[:, 0, :]
+                aux = jnp.concatenate([wv, cur[n_res - 1 - i]], axis=-1)
+                out, m = gated_pixel(
+                    dn_h[i], cp["dn_h"][i],
+                    hbuf[n_res + i], new_hm[n_res + i],
+                    cur[n_res + i], aux, c,
+                )
+                cur.append(out)
+                hbuf = hbuf.at[n_res + i + 1].set(
+                    put(hbuf[n_res + i + 1], 1, c + 1, out)
+                )
+                new_hm = new_hm.at[n_res + i].set(
+                    put(new_hm[n_res + i], 1, c + 1, m)
+                )
+            logits = jax.nn.elu(cur[-1]) @ logits_w + logits_b
+            key, k = jax.random.split(key)
+            s = jax.random.categorical(k, logits, axis=-1).astype(jnp.int32)
+            h0buf = jax.lax.dynamic_update_slice(
+                h0buf, embed[s][:, None, None, :], (0, 2, c + 1, 0)
+            )
+            return (h0buf, hbuf, new_hm, key), s
+
+        (h0buf, hbuf, hmbuf, key), samples_row = jax.lax.scan(
+            col_body, (h0buf, hbuf, hmbuf, key), jnp.arange(wid)
+        )
+
+        # roll row caches: current row becomes previous, fresh zero rows
+        h0buf = jnp.concatenate(
+            [h0buf[:, 1:], jnp.zeros_like(h0buf[:, :1])], axis=1
+        )
+        hbuf = jnp.concatenate(
+            [hbuf[:, :, 1:], jnp.zeros_like(hbuf[:, :, :1])], axis=2
+        )
+        hmbuf = jnp.concatenate(
+            [hmbuf[:, :, 1:], jnp.zeros_like(hmbuf[:, :, :1])], axis=2
+        )
+        return (h0buf, vprev, vmprev, hbuf, hmbuf, key), samples_row
+
+    init = (
+        jnp.zeros((n, 3, wid + 1, f), jnp.float32),
+        jnp.zeros((kv, n, wid, f), jnp.float32),
+        jnp.zeros((2 * n_res, n, wid, 2 * f), jnp.float32),
+        jnp.zeros((kh, n, 2, wid + 1, f), jnp.float32),
+        jnp.zeros((2 * n_res, n, 2, wid + 1, 2 * f), jnp.float32),
+        key,
+    )
+    _, samples = jax.lax.scan(row_body, init, None, length=hgt)
+    # samples: [H, W, B] -> [B, H, W]
+    samples = jnp.transpose(samples, (2, 0, 1))
+    if bsz is not None:
+        return samples.reshape((num_samples, bsz, hgt, wid))
+    return samples

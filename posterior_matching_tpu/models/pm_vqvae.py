@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from posterior_matching_tpu.models.pixelcnn import PixelCNN, pixelcnn_sample
+from posterior_matching_tpu.models.pixelcnn_fast import pixelcnn_sample_fast
 from posterior_matching_tpu.models.vqvae import VQVAE, VQVAEPartialEncoder
 
 
@@ -127,14 +128,24 @@ def pm_vqvae_impute(
     )
     event_shape = dict(model.pixel_cnn_kwargs)["image_shape"]
 
-    def logits_fn(codes, c):
-        return model.apply(
-            variables, codes, c, method=model.pixel_cnn_logits
+    pc_kwargs = dict(model.pixel_cnn_kwargs)
+    if pc_kwargs.get("num_hierarchies", 1) == 1:
+        # incrementally-cached raster sampler: O(1) network work per pixel
+        # instead of a full-grid forward (see models/pixelcnn_fast.py)
+        pc = PixelCNN(**pc_kwargs)
+        samples = pixelcnn_sample_fast(
+            pc, variables["params"]["pixel_cnn"], key, num_samples,
+            conditional_input=cond,
         )
+    else:
+        def logits_fn(codes, c):
+            return model.apply(
+                variables, codes, c, method=model.pixel_cnn_logits
+            )
 
-    samples = pixelcnn_sample(
-        logits_fn, key, num_samples, event_shape, conditional_input=cond
-    )  # [S, B, h, w]
+        samples = pixelcnn_sample(
+            logits_fn, key, num_samples, event_shape, conditional_input=cond
+        )  # [S, B, h, w]
 
     imputations = model.apply(
         variables, samples, method=model.decode_code_samples

@@ -68,3 +68,25 @@ def sum_over_event(x: jnp.ndarray) -> jnp.ndarray:
     if x.ndim <= 1:
         return x
     return jnp.sum(x, axis=tuple(range(1, x.ndim)))
+
+
+def batch_process(fn, dataset, mesh=None):
+    """Applies a (jitted) function over every batch of a dataset and
+    concatenates the outputs on the leading axis (reference ``batch_process``,
+    utils.py:154-166). ``fn(batch) -> pytree``; with ``mesh`` given, batches
+    are sharded over its data axis before the call so eval parallelizes
+    across all chips."""
+    import numpy as np
+
+    jfn = jax.jit(fn)
+    if mesh is not None:
+        from posterior_matching_tpu.parallel.mesh import shard_batch
+
+        prep = lambda b: shard_batch(b, mesh)
+    else:
+        prep = lambda b: jax.tree.map(jnp.asarray, b)
+
+    outs = [jax.device_get(jfn(prep(batch))) for batch in dataset]
+    if not outs:
+        raise ValueError("empty dataset")
+    return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)

@@ -82,3 +82,15 @@ def test_clustering_accuracy_partial():
     y_true = np.array([0, 0, 1, 1])
     y_pred = np.array([0, 1, 1, 1])
     assert clustering_accuracy(y_true, y_pred) == 0.75
+
+
+def test_batch_process_concatenates():
+    import jax.numpy as jnp
+
+    from posterior_matching_tpu.data.datasets import ArrayDataset
+    from posterior_matching_tpu.utils import batch_process
+
+    x = np.arange(40, dtype=np.float32).reshape(20, 2)
+    ds = ArrayDataset({"features": x}, batch_size=8, drop_remainder=False)
+    out = batch_process(lambda b: {"y": b["features"] * 2}, ds)
+    np.testing.assert_allclose(out["y"], x * 2)
