@@ -86,6 +86,12 @@ def pixelcnn_sample_fast(
     [num_samples, H, W] unconditional)."""
     if pixel_cnn.num_hierarchies != 1:
         raise ValueError("fast sampler supports num_hierarchies == 1 only")
+    if tuple(pixel_cnn.receptive_field_dims) != (3, 3):
+        # the rolling row caches are sized for the default 3x3 receptive
+        # field (2-3 cached rows); other sizes fall back to the naive sampler
+        raise ValueError(
+            "fast sampler supports receptive_field_dims == (3, 3) only"
+        )
 
     f = pixel_cnn.num_filters
     hgt, wid = pixel_cnn.image_shape

@@ -129,7 +129,10 @@ def pm_vqvae_impute(
     event_shape = dict(model.pixel_cnn_kwargs)["image_shape"]
 
     pc_kwargs = dict(model.pixel_cnn_kwargs)
-    if pc_kwargs.get("num_hierarchies", 1) == 1:
+    if (
+        pc_kwargs.get("num_hierarchies", 1) == 1
+        and tuple(pc_kwargs.get("receptive_field_dims", (3, 3))) == (3, 3)
+    ):
         # incrementally-cached raster sampler: O(1) network work per pixel
         # instead of a full-grid forward (see models/pixelcnn_fast.py)
         pc = PixelCNN(**pc_kwargs)

@@ -52,20 +52,25 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
-    """Device-puts a host batch with the leading axis sharded over the mesh.
-
-    Single-host: a plain sharded ``device_put``. Multi-host (after
-    :func:`maybe_initialize_distributed`): each process contributes its local
-    shard and the result is a global array spanning the mesh
-    (``jax.make_array_from_process_local_data`` — host batches ride DCN only
-    to their own chips; gradients reduce over ICI)."""
-    sharding = batch_sharding(mesh, axis_name)
+def put_with_sharding(tree, sharding: NamedSharding):
+    """Device-puts a host pytree under a sharding, correctly on one host AND
+    multi-host. Single-host: a plain sharded ``device_put``. Multi-host
+    (after :func:`maybe_initialize_distributed`): each process contributes
+    its local shard and the result is a global array spanning the mesh
+    (``jax.make_array_from_process_local_data`` — host data rides DCN only
+    to its own chips). For a replicated sharding multi-host, every process
+    must hold the identical full array."""
     if jax.process_count() == 1:
-        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(
             sharding, np.asarray(x)
         ),
-        batch,
+        tree,
     )
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Device-puts a host batch with the leading axis sharded over the mesh
+    (see :func:`put_with_sharding` for multi-host semantics)."""
+    return put_with_sharding(batch, batch_sharding(mesh, axis_name))

@@ -239,7 +239,7 @@ class Trainer:
 
         return jax.jit(multi, donate_argnums=(0,))
 
-    def _make_train_step_device_resident(self, num_steps: int, data, spec):
+    def _make_train_step_device_resident(self, num_steps: int, spec):
         """``(ts, data, base_key) -> (new_ts, stacked_metrics)``:
         ``num_steps`` updates with batches gathered from device-resident
         arrays *inside* the program — zero host involvement per chunk."""
@@ -325,15 +325,16 @@ class Trainer:
 
     def _shard_chunk(self, chunk):
         """Device-puts a stacked [steps_per_call, batch, ...] chunk with the
-        BATCH axis (axis 1) sharded over the data mesh."""
+        BATCH axis (axis 1) sharded over the data mesh (multi-host aware)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from posterior_matching_tpu.parallel.mesh import DATA_AXIS
+        from posterior_matching_tpu.parallel.mesh import (
+            DATA_AXIS,
+            put_with_sharding,
+        )
 
         sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
-        return jax.tree.map(
-            lambda x: jax.device_put(jnp.asarray(x), sharding), chunk
-        )
+        return put_with_sharding(chunk, sharding)
 
     def fit(
         self,
@@ -395,9 +396,10 @@ class Trainer:
                 self._shard(first), initial_params, initial_state
             )
         if device_resident:
-            data_dev = jax.tree.map(
-                lambda a: jax.device_put(jnp.asarray(a), self._replicated),
-                train_dataset.data,
+            from posterior_matching_tpu.parallel.mesh import put_with_sharding
+
+            data_dev = put_with_sharding(
+                train_dataset.data, self._replicated
             )
             spec = (
                 train_dataset.batch_size,
@@ -405,7 +407,7 @@ class Trainer:
                 train_dataset.transform,
             )
             self._train_step = self._make_train_step_device_resident(
-                spc, data_dev, spec
+                spc, spec
             )
         elif spc > 1:
             self._train_step = self._make_train_step_scan(spc)
@@ -440,12 +442,14 @@ class Trainer:
             return jax.tree.map(lambda *xs: np.stack(xs), *bs)
 
         step = start_step
-        call_idx = 0
         while step < steps:
             k = min(spc, steps - step)
+            rel = step - start_step  # optimizer step this call starts at
+            # profile_steps are OPTIMIZER steps: start before the call that
+            # contains profile_steps[0], stop after the one containing [1]
             if (
                 self._profile_dir is not None
-                and call_idx == self._profile_steps[0]
+                and rel <= self._profile_steps[0] < rel + k
             ):
                 jax.profiler.start_trace(self._profile_dir)
 
@@ -455,7 +459,7 @@ class Trainer:
                 else:
                     if tail_step is None:
                         tail_step = self._make_train_step_device_resident(
-                            k, data_dev, spec
+                            k, spec
                         )
                     ts, metrics = tail_step(ts, data_dev, base_key)
             elif spc > 1:
@@ -477,11 +481,10 @@ class Trainer:
 
             if (
                 self._profile_dir is not None
-                and call_idx == self._profile_steps[1]
+                and rel <= self._profile_steps[1] < rel + k
             ):
                 jax.tree.map(lambda x: x.block_until_ready(), metrics)
                 jax.profiler.stop_trace()
-            call_idx += 1
             pending_metrics.append(metrics)
             steps_since_log += k
             step += k

@@ -70,12 +70,13 @@ def sum_over_event(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(x, axis=tuple(range(1, x.ndim)))
 
 
-def batch_process(fn, dataset, mesh=None):
+def batch_process(fn, dataset, mesh=None, key=None):
     """Applies a (jitted) function over every batch of a dataset and
     concatenates the outputs on the leading axis (reference ``batch_process``,
-    utils.py:154-166). ``fn(batch) -> pytree``; with ``mesh`` given, batches
-    are sharded over its data axis before the call so eval parallelizes
-    across all chips."""
+    utils.py:154-166). ``fn(batch) -> pytree``, or ``fn(batch, key) ->
+    pytree`` when ``key`` is given (a fresh key is split per batch). With
+    ``mesh`` given, batches are sharded over its data axis before the call
+    so eval parallelizes across all chips."""
     import numpy as np
 
     jfn = jax.jit(fn)
@@ -86,7 +87,13 @@ def batch_process(fn, dataset, mesh=None):
     else:
         prep = lambda b: jax.tree.map(jnp.asarray, b)
 
-    outs = [jax.device_get(jfn(prep(batch))) for batch in dataset]
+    outs = []
+    for batch in dataset:
+        if key is not None:
+            key, k = jax.random.split(key)
+            outs.append(jax.device_get(jfn(prep(batch), k)))
+        else:
+            outs.append(jax.device_get(jfn(prep(batch))))
     if not outs:
         raise ValueError("empty dataset")
     return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)

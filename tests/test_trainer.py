@@ -288,3 +288,25 @@ def test_to_device_resident_materializes_transform():
     )
     spec = dds.element_spec
     assert spec["features"] == ((16, 3), np.dtype(np.float32))
+
+
+def test_to_device_resident_keeps_uint8_for_pure_rescale():
+    """A pure u8->f32 rescale transform is moved on-device: HBM holds uint8,
+    the device transform produces the same batches."""
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 256, (20, 4, 4, 1)).astype(np.uint8)
+
+    def transform(batch):
+        out = dict(batch)
+        out["image"] = out["image"].astype(np.float32) / 255.0
+        return out
+
+    transform.u8_scale_fields = {"image": 1.0 / 255.0}
+    ds = ArrayDataset({"image": x}, batch_size=8, transform=transform)
+    dds = ds.to_device_resident()
+    assert dds.data["image"].dtype == np.uint8  # not materialized to f32
+    eb = dds.example_batch()
+    np.testing.assert_allclose(eb["image"], x[:8].astype(np.float32) / 255.0)
+    # host iteration works (VaDE GMM phase contract)
+    total = sum(len(b["image"]) for b in dds)
+    assert total == 20

@@ -37,20 +37,9 @@ from posterior_matching_tpu.train import (
     Trainer,
     save_train_state,
 )
-from posterior_matching_tpu.utils import make_run_dir
+from posterior_matching_tpu.utils import batch_process, make_run_dir
 
 config_flags.DEFINE_config_file("config", lock_config=False)
-
-
-def batch_process(fn, params, dataset, key):
-    """Applies a jitted fn over every batch and concatenates the results
-    (reference utils.py:154-166)."""
-    fn = jax.jit(fn)
-    out = []
-    for batch in dataset:
-        key, k = jax.random.split(key)
-        out.append(np.asarray(fn(params, k, batch)))
-    return np.concatenate(out, axis=0)
 
 
 def main(_):
@@ -133,8 +122,9 @@ def main(_):
     print("Fitting GMM...")
     key = jax.random.PRNGKey(config.seed)
     params_host = jax.device_get(pretrain_state.params)
-    latents = batch_process(encode_fn, params_host, train_dataset, key)
-    val_latents = batch_process(encode_fn, params_host, val_dataset, key)
+    enc = lambda batch, k: encode_fn(params_host, k, batch)
+    latents = batch_process(enc, train_dataset, key=key)
+    val_latents = batch_process(enc, val_dataset, key=key)
 
     gmm = GaussianMixture(
         n_components=config.model.num_components,
