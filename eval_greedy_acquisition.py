@@ -46,6 +46,12 @@ flags.DEFINE_integer(
 flags.DEFINE_integer(
     "episode_length", default=31, help="The length of episodes to collect."
 )
+flags.DEFINE_integer(
+    "chunk_size", default=8,
+    help="Instances rolled out together on device per dispatch (the 31-step "
+    "scan vmaps over this many episodes; sized by HBM — each instance's "
+    "sampling info-gain estimator holds num_samples x (features+1) forwards).",
+)
 
 
 def main(_):
@@ -71,24 +77,32 @@ def main(_):
     eval_fn = make_acquisition_eval_fn(
         model, variables, flags.FLAGS.num_samples
     )
-    collect_trajectory = jax.jit(
-        make_collect_trajectory_fn(eval_fn, flags.FLAGS.episode_length)
+    # Rollouts batched ACROSS instances on device (the reference runs one
+    # jitted trajectory per instance in a Python loop, reference
+    # eval_greedy_acquisition.py:131): vmap the 31-step scan over a chunk of
+    # instances and dispatch once per chunk.
+    collect_batch = jax.jit(
+        jax.vmap(
+            make_collect_trajectory_fn(eval_fn, flags.FLAGS.episode_length)
+        )
     )
 
     key = jax.random.PRNGKey(91)
     sampling_trajectories, lookahead_trajectories = [], []
 
-    for x in tqdm(data, unit="episodes"):
+    chunk = flags.FLAGS.chunk_size
+    for start in tqdm(range(0, len(data), chunk), unit="chunks"):
+        xb = data[start : start + chunk]
         key, k = jax.random.split(key)
-        sampling_traj, look_traj = jax.device_get(
-            collect_trajectory(x, k)
-        )
-        sampling_traj = {k2: np.asarray(v) for k2, v in sampling_traj.items()}
-        look_traj = {k2: np.asarray(v) for k2, v in look_traj.items()}
-        sampling_traj["truth"] = x
-        look_traj["truth"] = x
-        sampling_trajectories.append(sampling_traj)
-        lookahead_trajectories.append(look_traj)
+        ks = jax.random.split(k, len(xb))
+        s_t, l_t = jax.device_get(collect_batch(xb, ks))
+        for i in range(len(xb)):
+            s = {k2: np.asarray(v[i]) for k2, v in s_t.items()}
+            l = {k2: np.asarray(v[i]) for k2, v in l_t.items()}
+            s["truth"] = xb[i]
+            l["truth"] = xb[i]
+            sampling_trajectories.append(s)
+            lookahead_trajectories.append(l)
 
     results_dir = os.path.join(run_dir, "trajectories")
     os.makedirs(results_dir, exist_ok=True)
