@@ -142,22 +142,30 @@ def host_masks(images_shape, rng):
     return masks
 
 
+def _sync(jax, jnp, tree):
+    """Forces completion by FETCHING A VALUE. ``block_until_ready`` is not a
+    reliable fence on remote/tunneled backends (measured: it returned in
+    0.04s where the actual device work took 34s) — only a value round trip
+    proves the computation ran."""
+    return float(jnp.sum(jax.tree.leaves(tree)[0]))
+
+
 def _time_fused(
     jax, jnp, params, state, opt_state, step_fn, images, n, steps_per_call=1
 ):
     """Times ``n`` dispatches of ``step_fn`` (each = ``steps_per_call``
-    optimizer steps); returns optimizer steps/sec."""
+    optimizer steps); returns optimizer steps/sec. Synced by value fetch."""
     key = jax.random.PRNGKey(0)
     x_dev = jnp.asarray(images)
     p = jax.tree.map(jnp.copy, params)  # steps donate their inputs
     o = jax.tree.map(jnp.copy, opt_state)
-    for _ in range(3):  # warmup/compile
+    for _ in range(2):  # warmup/compile
         p, o, key = step_fn(p, o, state, x_dev, key)
-    jax.block_until_ready(p)
+    _sync(jax, jnp, p)
     t0 = time.perf_counter()
     for _ in range(n):
         p, o, key = step_fn(p, o, state, x_dev, key)
-    jax.block_until_ready(p)
+    _sync(jax, jnp, p)
     return n * steps_per_call / (time.perf_counter() - t0)
 
 
@@ -165,7 +173,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    n = 100
+    n = 30
 
     # ---- fused pipeline, f32 ----
     (
@@ -181,17 +189,17 @@ def main():
     rng = np.random.RandomState(0)
     p = jax.tree.map(jnp.copy, params)
     o = jax.tree.map(jnp.copy, opt_state)
-    for _ in range(3):
+    for _ in range(2):
         b = jnp.asarray(host_masks(images.shape, rng))
         x = jnp.asarray(images + rng.rand(*images.shape).astype(np.float32) * 0)
         p, o, key = naive_step(p, o, state, x, b, key)
-    jax.block_until_ready(p)
+    _sync(jax, jnp, p)
     t0 = time.perf_counter()
     for _ in range(n):
         b = jnp.asarray(host_masks(images.shape, rng))
         x = jnp.asarray(images.copy())  # fresh host batch each step
         p, o, key = naive_step(p, o, state, x, b, key)
-    jax.block_until_ready(p)
+    _sync(jax, jnp, p)
     naive_sps = n / (time.perf_counter() - t0)
 
     # ---- fused pipeline, bf16 conv stacks (params/heads stay f32) ----
@@ -206,11 +214,11 @@ def main():
     # ---- scan-fused chunks (Trainer steps_per_call mode), bf16 ----
     chunked_bf16_sps = _time_fused(
         jax, jnp, params16, state16, opt16, fused_chunk16, images,
-        max(n // chunk16, 5), steps_per_call=chunk16,
+        max(n // chunk16, 3), steps_per_call=chunk16,
     )
     chunked_f32_sps = _time_fused(
         jax, jnp, params, state, opt_state, fused_chunk, images,
-        max(n // chunk, 5), steps_per_call=chunk,
+        max(n // chunk, 3), steps_per_call=chunk,
     )
 
     fused_sps = max(

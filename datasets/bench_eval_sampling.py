@@ -53,15 +53,20 @@ def main():
         )
     )
 
+    def sync(out):
+        # value fetch: block_until_ready is not a reliable fence on
+        # remote/tunneled backends (see bench.py _sync)
+        return int(jnp.sum(out))
+
     results = {}
     for name, fn in [("fast_cached", fast), ("naive_full_forward", naive)]:
         out = fn(jax.random.PRNGKey(0), cond)  # compile
-        jax.block_until_ready(out)
+        sync(out)
         reps = 3
         t0 = time.perf_counter()
         for i in range(reps):
             out = fn(jax.random.PRNGKey(i), cond)
-        jax.block_until_ready(out)
+            sync(out)
         dt = (time.perf_counter() - t0) / reps
         results[name] = dt
         print(
