@@ -85,8 +85,18 @@ def build(compute_dtype=None):
         )
         return -jnp.mean(ll)
 
+    # Matches the Trainer's default rng_impl="auto": the dropout key is
+    # converted to the hardware rbg impl on TPU (threefry bit generation is
+    # pure VPU ALU work, ~7 ms/step at these shapes — measured, BASELINE.md);
+    # mask keys stay threefry (measured equal).
+    from posterior_matching_tpu.utils import fast_bits_key
+
+    use_rbg = jax.default_backend() == "tpu"
+
     def fused_body(params, opt_state, state, images, key):
         key, k_mask, k_drop = jax.random.split(key, 3)
+        if use_rbg:
+            k_drop = fast_bits_key(k_drop)
         b = mask_fn(k_mask, images.shape).reshape(
             (*images.shape[:-1], 1)
         )

@@ -41,7 +41,35 @@ def _kernel_mask(kernel_size, valid_rows, valid_cols):
     return mask[:, :, None, None]
 
 
+class _ConvParams(nn.Module):
+    """Bare kernel+bias params laid out exactly like ``nn.Conv``'s, so the
+    param tree (``.../Conv_0/{kernel,bias}``) is identical whichever compute
+    path :class:`_MaskedConv` takes."""
+
+    kshape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", _trunc_normal_fan_in, self.kshape)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.kshape[-1],)
+        )
+        return kernel, bias
+
+
 class _MaskedConv(nn.Module):
+    """Causality-masked conv.
+
+    The reference multiplies a 0/1 mask into the kernel and convolves with
+    the FULL window (reference pixel_cnn.py:148-211) — every masked tap still
+    costs MXU work. Here, for the hot stride-1 odd-kernel case, the kernel is
+    statically SLICED to its valid region and convolved with explicit
+    (possibly negative) padding: bit-equivalent output (the dropped taps are
+    exact zeros), 33-56% fewer conv FLOPs (a (3,3) kernel masked to its top
+    2x2 does 4/9 of the work). Strided/even-kernel cases (hierarchy
+    down-sampling only) keep the masked full-window conv.
+    """
+
     features: int
     kernel_size: Tuple[int, int]
     valid_rows: Tuple[int, int]
@@ -52,21 +80,47 @@ class _MaskedConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         kh, kw = self.kernel_size
-        mask = jnp.broadcast_to(
-            jnp.asarray(
-                _kernel_mask(self.kernel_size, self.valid_rows, self.valid_cols)
-            ),
-            (kh, kw, x.shape[-1], self.features),
+        (r0, r1), (c0, c1) = self.valid_rows, self.valid_cols
+        if self.strides != (1, 1) or kh % 2 == 0 or kw % 2 == 0:
+            mask = jnp.broadcast_to(
+                jnp.asarray(
+                    _kernel_mask(
+                        self.kernel_size, self.valid_rows, self.valid_cols
+                    )
+                ),
+                (kh, kw, x.shape[-1], self.features),
+            )
+            return nn.Conv(
+                self.features,
+                self.kernel_size,
+                strides=self.strides,
+                padding="SAME",
+                mask=mask,
+                kernel_init=_trunc_normal_fan_in,
+                dtype=self.dtype,
+                name="Conv_0",
+            )(x)
+
+        kernel, bias = _ConvParams(
+            (kh, kw, x.shape[-1], self.features), name="Conv_0"
+        )()
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
         )
-        return nn.Conv(
-            self.features,
-            self.kernel_size,
-            strides=self.strides,
-            padding="SAME",
-            mask=mask,
-            kernel_init=_trunc_normal_fan_in,
-            dtype=self.dtype,
-        )(x)
+        # SAME padding for a stride-1 odd kernel is (k//2, k//2); keeping
+        # only taps [v0, v1) shifts that to (k//2 - v0, (v1-1) - k//2) —
+        # negative high padding crops, exactly mirroring the dropped taps.
+        out = jax.lax.conv_general_dilated(
+            x,
+            kernel[r0:r1, c0:c1],
+            window_strides=(1, 1),
+            padding=(
+                (kh // 2 - r0, (r1 - 1) - kh // 2),
+                (kw // 2 - c0, (c1 - 1) - kw // 2),
+            ),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias
 
 
 class _MaskedConvTranspose(nn.Module):

@@ -97,6 +97,13 @@ class Trainer:
             by it. Only possible because masks/noise are generated on device
             — the reference's host-side mask callback forces one dispatch per
             step by construction (reference masking.py:342).
+        rng_impl: PRNG implementation for the per-step LOSS key (dropout /
+            reparameterization bits). ``"auto"`` (default) uses ``"rbg"``
+            (hardware RngBitGenerator) on TPU and threefry elsewhere;
+            threefry bit generation is pure VPU ALU work and costs ~25% of
+            the PM-VQVAE CelebA step (measured, BASELINE.md). Prologue
+            (mask) keys stay threefry — many small fused draws, measured
+            equal. Pass ``None`` to force threefry everywhere.
     """
 
     def __init__(
@@ -116,6 +123,7 @@ class Trainer:
         profile_dir: Optional[str] = None,
         profile_steps: tuple = (10, 15),
         steps_per_call: int = 1,
+        rng_impl: Optional[str] = "auto",
     ):
         self._loss_fn = loss_fn
         self._init_fn = init_fn
@@ -133,6 +141,11 @@ class Trainer:
         self._profile_steps = profile_steps
         assert steps_per_call >= 1
         self._steps_per_call = steps_per_call
+        if rng_impl == "auto":
+            rng_impl = "rbg" if jax.default_backend() == "tpu" else None
+        if rng_impl not in (None, "rbg"):
+            raise ValueError(f"unsupported rng_impl: {rng_impl!r}")
+        self._rng_impl = rng_impl
 
         self.mesh = create_mesh(num_devices)
         self._batch_sharding = batch_sharding(self.mesh)
@@ -171,10 +184,15 @@ class Trainer:
         prologue = self._prologue_fn
         ema_rate = self._ema_rate
         skip_nonfinite = self._skip_nonfinite
+        rng_impl = self._rng_impl
 
         def train_step(ts: TrainState, batch, base_key):
             key = jax.random.fold_in(base_key, ts.step)
             k_pro, k_loss = jax.random.split(key)
+            if rng_impl == "rbg":
+                from posterior_matching_tpu.utils import fast_bits_key
+
+                k_loss = fast_bits_key(k_loss)
             if prologue is not None:
                 batch = prologue(batch, k_pro)
 
@@ -276,9 +294,14 @@ class Trainer:
     def _make_val_step(self):
         loss_fn = self._loss_fn
         prologue = self._val_prologue_fn
+        rng_impl = self._rng_impl
 
         def val_step(params, state, batch, key, step):
             k_pro, k_loss = jax.random.split(key)
+            if rng_impl == "rbg":
+                from posterior_matching_tpu.utils import fast_bits_key
+
+                k_loss = fast_bits_key(k_loss)
             if prologue is not None:
                 batch = prologue(batch, k_pro)
             loss, aux, _ = loss_fn(params, state, k_loss, step, batch, False)

@@ -57,6 +57,28 @@ def make_run_dir(path: str = "runs", prefix: Optional[str] = None) -> str:
     return run_dir
 
 
+def fast_bits_key(key: jax.Array) -> jax.Array:
+    """Converts a PRNG key to the ``rbg`` implementation (XLA
+    ``RngBitGenerator``, hardware-accelerated on TPU).
+
+    threefry2x32 generates random bits in pure VPU ALU ops — measured at
+    ~7 ms of the PM-VQVAE CelebA train step (the 48 dropout layers alone;
+    BASELINE.md). ``rbg`` generates bulk bits at hardware speed while key
+    *derivation* (``split``/``fold_in``) stays cheap. Use it for
+    high-volume bit streams (dropout, reparameterization noise); keep
+    threefry for structural randomness made of many small draws, which XLA
+    fuses well (measured equal for the mask generators).
+
+    Works inside jit. Accepts typed keys or raw ``uint32[2]`` arrays.
+    """
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        data = jax.random.key_data(key)
+    else:
+        data = key
+    data = jnp.tile(data.reshape(-1), 2)[:4].astype(jnp.uint32)
+    return jax.random.wrap_key_data(data, impl="rbg")
+
+
 def logmeanexp(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     """log(mean(exp(x))) along an axis (tfp ``reduce_logmeanexp``)."""
     n = x.shape[axis]

@@ -310,3 +310,50 @@ def test_to_device_resident_keeps_uint8_for_pure_rescale():
     # host iteration works (VaDE GMM phase contract)
     total = sum(len(b["image"]) for b in dds)
     assert total == 20
+
+
+def test_rng_impl_rbg():
+    """rng_impl="rbg" (the TPU default via "auto") must train correctly on
+    any backend: the loss key handed to loss_fn is a valid typed rbg key and
+    training still converges deterministically for a fixed seed."""
+    seen_impls = []
+
+    class DropModel(nn.Module):
+        @nn.compact
+        def __call__(self, x, training=False):
+            h = nn.Dense(8, name="enc")(x)
+            h = nn.Dropout(0.5, deterministic=not training)(h)
+            return nn.Dense(x.shape[-1], name="dec")(h)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(64, 4).astype(np.float32)
+    model = DropModel()
+
+    def loss_fn(params, state, key, step, batch, is_training):
+        seen_impls.append(getattr(key.dtype, "name", str(key.dtype)))
+        pred = model.apply(
+            {"params": params}, batch["features"], training=is_training,
+            rngs={"dropout": key},
+        )
+        loss = jnp.mean((pred - batch["features"]) ** 2)
+        return loss, {}, state
+
+    def init_fn(key, batch):
+        variables = model.init(key, batch["features"])
+        return variables["params"], {}
+
+    def run():
+        ds = ArrayDataset({"features": x}, batch_size=32, shuffle=True, seed=0)
+        t = Trainer(loss_fn, init_fn, optax.adam(1e-2), seed=0, rng_impl="rbg")
+        return t.fit(ds, steps=10, validation_freq=100)
+
+    ts1, ts2 = run(), run()
+    assert any("rbg" in s for s in seen_impls)
+    for a, b in zip(jax.tree.leaves(ts1.params), jax.tree.leaves(ts2.params)):
+        np.testing.assert_array_equal(jax.device_get(a), jax.device_get(b))
+
+
+def test_rng_impl_validation():
+    ds, loss_fn, init_fn = _make_problem()
+    with pytest.raises(ValueError):
+        Trainer(loss_fn, init_fn, optax.adam(1e-2), rng_impl="bogus")
