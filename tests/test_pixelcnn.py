@@ -103,3 +103,76 @@ def test_sampling_is_jittable(small_pixelcnn):
 
     s = run(jax.random.PRNGKey(1))
     assert s.shape == (2, 2, 5, 5)
+
+
+def test_sliced_kernel_equals_masked_conv():
+    """The sliced-kernel fast path of _MaskedConv must agree with the
+    reference semantics (0/1 mask multiplied into a full-window SAME conv)
+    for every (kernel, valid-region) combination the network uses."""
+    from flax import linen as nn
+
+    from posterior_matching_tpu.models.networks import _trunc_normal_fan_in
+    from posterior_matching_tpu.models.pixelcnn import (
+        _kernel_mask,
+        _MaskedConv,
+    )
+
+    cases = [
+        # (kernel_size, valid_rows, valid_cols) — v_init, h_init_up,
+        # h_init_left, vertical gated, horizontal gated (3x3 field)
+        ((5, 3), (0, 2), (0, 3)),
+        ((3, 3), (0, 1), (0, 3)),
+        ((3, 3), (0, 2), (0, 1)),
+        ((3, 3), (0, 2), (0, 3)),
+        ((3, 3), (0, 2), (0, 2)),
+    ]
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 7, 4))
+    for ksize, vr, vc in cases:
+        fast = _MaskedConv(6, ksize, vr, vc)
+        fvars = fast.init(jax.random.PRNGKey(2), x)
+
+        ref = nn.Conv(
+            6, ksize, padding="SAME",
+            mask=jnp.broadcast_to(
+                jnp.asarray(_kernel_mask(ksize, vr, vc)), (*ksize, 4, 6)
+            ),
+            kernel_init=_trunc_normal_fan_in,
+        )
+        rvars = {"params": fvars["params"]["Conv_0"]}
+        np.testing.assert_allclose(
+            fast.apply(fvars, x), ref.apply(rvars, x), rtol=1e-6, atol=1e-6
+        )
+
+
+def test_sliced_kernel_gradients_match_masked():
+    """Gradients through the sliced path must equal the masked-conv
+    gradients (zero on masked taps, identical elsewhere)."""
+    from flax import linen as nn
+
+    from posterior_matching_tpu.models.networks import _trunc_normal_fan_in
+    from posterior_matching_tpu.models.pixelcnn import (
+        _kernel_mask,
+        _MaskedConv,
+    )
+
+    ksize, vr, vc = (3, 3), (0, 2), (0, 2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 5, 3))
+    fast = _MaskedConv(4, ksize, vr, vc)
+    fvars = fast.init(jax.random.PRNGKey(2), x)
+    ref = nn.Conv(
+        4, ksize, padding="SAME",
+        mask=jnp.broadcast_to(
+            jnp.asarray(_kernel_mask(ksize, vr, vc)), (*ksize, 3, 4)
+        ),
+        kernel_init=_trunc_normal_fan_in,
+    )
+
+    gf = jax.grad(lambda v: jnp.sum(fast.apply(v, x) ** 2))(fvars)
+    gr = jax.grad(
+        lambda v: jnp.sum(ref.apply(v, x) ** 2)
+    )({"params": fvars["params"]["Conv_0"]})
+    for name in ("kernel", "bias"):
+        np.testing.assert_allclose(
+            gf["params"]["Conv_0"][name], gr["params"][name],
+            rtol=1e-5, atol=1e-6,
+        )
