@@ -54,7 +54,7 @@ def main(_):
     print(f"final RMSE: sampling={rmse_s[-1]:.4f} lookahead={rmse_l[-1]:.4f}")
 
     # -- imputation strip (image data) ---------------------------------------
-    traj = lookahead[flags.FLAGS.episode]
+    traj = lookahead[min(flags.FLAGS.episode, len(lookahead) - 1)]
     x = np.asarray(traj["truth"])
     if x.ndim < 2 or x.size != int(np.sqrt(x.size)) ** 2:
         side = int(round(np.sqrt(x.size)))
@@ -67,8 +67,13 @@ def main(_):
         x = x.reshape(int(np.sqrt(x.size)), -1)
 
     times = [t for t in (1, 5, 10, 20, 30) if t < len(traj["mask"])]
+    if not times:
+        print("episode too short for an imputation strip; skipping")
+        print(f"saved {prefix}_rmse.png")
+        return
     fig, axes = plt.subplots(
-        2, len(times) + 1, figsize=(1.2 * (len(times) + 1), 2.6)
+        2, len(times) + 1, figsize=(1.2 * (len(times) + 1), 2.6),
+        squeeze=False,
     )
     for i, t in enumerate(times):
         b = np.asarray(traj["mask"][t]).reshape(x.shape)

@@ -60,14 +60,13 @@ def main(_):
         flags.FLAGS.dataset, 256, drop_remainder=False
     )
 
-    def latent_mean(batch):
-        return model.apply(
-            variables, batch["image"], method=model.encode
-        ).mean()
+    def codes_and_labels(batch):
+        dist = model.apply(variables, batch["image"], method=model.encode)
+        return {"code": dist.mean(), "label": batch["label"]}
 
-    out = batch_process(latent_mean, ds)
-    codes = np.asarray(out)
-    labels = np.concatenate([np.asarray(b["label"]) for b in ds])
+    out = batch_process(codes_and_labels, ds)
+    codes = np.asarray(out["code"])
+    labels = np.asarray(out["label"])
 
     try:
         from umap import UMAP  # optional; not in this image

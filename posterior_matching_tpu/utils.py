@@ -69,11 +69,24 @@ def fast_bits_key(key: jax.Array) -> jax.Array:
     threefry for structural randomness made of many small draws, which XLA
     fuses well (measured equal for the mask generators).
 
-    Works inside jit. Accepts typed keys or raw ``uint32[2]`` arrays.
+    Works inside jit. Accepts a SINGLE key — typed scalar key or raw
+    ``uint32[2]``/``uint32[4]`` array; batched key arrays are rejected
+    (converting a batch into one key would silently collapse the streams —
+    convert each key after splitting instead).
     """
     if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        if key.ndim != 0:
+            raise ValueError(
+                f"fast_bits_key expects a single key, got batch shape "
+                f"{key.shape}; split first, convert each"
+            )
         data = jax.random.key_data(key)
     else:
+        if key.ndim != 1 or key.shape[0] not in (2, 4):
+            raise ValueError(
+                f"fast_bits_key expects raw key data of shape (2,) or (4,), "
+                f"got {key.shape}; split first, convert each"
+            )
         data = key
     data = jnp.tile(data.reshape(-1), 2)[:4].astype(jnp.uint32)
     return jax.random.wrap_key_data(data, impl="rbg")
