@@ -138,10 +138,39 @@ def pixelcnn_sample_fast(
         }
         return p
 
+    # The per-pixel taps of every horizontal conv are (-1,-1), (-1,0),
+    # (0,-1), (0,0); this fixed order is shared by the fused weight stacks
+    # and the context gathers below.
+    _TAP_ORDER = ((-1, -1), (-1, 0), (0, -1))  # cached taps; (0,0) in-chain
+
+    def fuse_block(bp):
+        """Stacks a horizontal block's tap kernels (+ aux kernel) into ONE
+        weight matrix per conv, so each per-pixel conv is a single matmul
+        on a concatenated input instead of 4-5 small matmuls."""
+        (taps_a, bias_a), (taps_b, bias_b) = bp["a"], bp["b"]
+
+        def stack(taps, extra=None):
+            tapmap = {(dy, dx): w for dy, dx, w in taps}
+            ws = [tapmap[o] for o in _TAP_ORDER] + [tapmap[(0, 0)]]
+            if extra is not None:
+                ws.append(extra)
+            return jnp.concatenate(ws, axis=0)
+
+        aux = bp["aux"]
+        return {
+            "Wa": stack(taps_a, None if aux is None else aux["kernel"]),
+            "ba": bias_a + (0.0 if aux is None else aux["bias"]),
+            "Wb": stack(taps_b),
+            "bb": bias_b,
+        }
+
     up_v = [block_params(f"up_0_{r}_vertical", False) for r in range(n_res)]
     up_h = [block_params(f"up_0_{r}_horizontal", True) for r in range(n_res)]
     dn_v = [block_params(f"dn_0_{r}_vertical", True) for r in range(n_res)]
     dn_h = [block_params(f"dn_0_{r}_horizontal", True) for r in range(n_res)]
+    fused_h = [fuse_block(b) for b in up_h] + [fuse_block(b) for b in dn_h]
+    # h_init_left: 2 cached taps (-1,-1), (0,-1) on the raw embedding rows
+    hleft_w = jnp.concatenate([w for _, _, w in hleft[0]], axis=0)
 
     def cond_proj(bp):
         if cond is None or bp["cond"] is None:
@@ -206,38 +235,30 @@ def pixelcnn_sample_fast(
         new_vmprev = jnp.stack(m_rows)
         return v_rows, w_rows, new_vprev, new_vmprev, hup_row
 
-    def at(buf, row, col):
-        """[B, C] value of buffer [B, 2, W+1, C] at (row, padded col)."""
-        return jax.lax.dynamic_slice(
-            buf, (0, row, col, 0), (buf.shape[0], 1, 1, buf.shape[-1])
-        )[:, 0, 0, :]
-
-    def put(buf, row, col, val):
-        return jax.lax.dynamic_update_slice(
-            buf, val[:, None, None, :], (0, row, col, 0)
-        )
-
-    def gated_pixel(bp, cproj, in_buf, m_buf, in_cur, aux_val, c):
-        """One horizontal gated block at one pixel. ``in_buf``/``m_buf`` are
-        the block input / intermediate row caches [B, 2, W+1, C]; ``in_cur``
-        is the input value at (r, c) (computed earlier in this pixel's
-        chain). Returns (out_val, m_val). Taps: (-1,-1), (-1,0), (0,-1),
-        (0,0) — padded col index: c-1 -> c, c -> c+1."""
-        (taps_a, bias_a), (taps_b, bias_b) = bp["a"], bp["b"]
-        a = bias_a
-        for dy, dx, w in taps_a:
-            if (dy, dx) == (0, 0):
-                v = concat_elu(in_cur)
-            else:
-                v = concat_elu(at(in_buf, dy + 1, c + 1 + dx))
-            a = a + v @ w
-        if aux_val is not None and bp["aux"] is not None:
-            a = a + _dense(bp["aux"], concat_elu(aux_val))
+    def gated_pixel(fp, cproj, in_ctx, m_ctx, in_cur, aux_val):
+        """One horizontal gated block at one pixel, as TWO matmuls on
+        concatenated inputs (the 3 cached taps + the in-chain (0,0) value
+        + the aux cue share one fused weight stack — see ``fuse_block``).
+        ``in_ctx``/``m_ctx`` are the [B, 2(dy), 2(dx), C] cached contexts of
+        this level around the pixel. Returns (out_val, m_val)."""
+        vs = [
+            concat_elu(in_ctx[:, 0, 0]),  # (-1,-1)
+            concat_elu(in_ctx[:, 0, 1]),  # (-1, 0)
+            concat_elu(in_ctx[:, 1, 0]),  # ( 0,-1)
+            concat_elu(in_cur),           # ( 0, 0)
+        ]
+        if aux_val is not None:
+            vs.append(concat_elu(aux_val))
+        a = jnp.concatenate(vs, axis=-1) @ fp["Wa"] + fp["ba"]
         m = concat_elu(a)
-        b = bias_b + cproj
-        for dy, dx, w in taps_b:
-            v = m if (dy, dx) == (0, 0) else at(m_buf, dy + 1, c + 1 + dx)
-            b = b + v @ w
+        b = (
+            jnp.concatenate(
+                [m_ctx[:, 0, 0], m_ctx[:, 0, 1], m_ctx[:, 1, 0], m], axis=-1
+            )
+            @ fp["Wb"]
+            + fp["bb"]
+            + cproj
+        )
         act, gate = jnp.split(b, 2, axis=-1)
         return in_cur + jax.nn.sigmoid(gate) * act, m
 
@@ -246,57 +267,69 @@ def pixelcnn_sample_fast(
         v_rows, w_rows, vprev, vmprev, hup_row = row_pass(
             h0buf, vprev, vmprev
         )
+        # aux cues for the whole row, stacked so ONE slice per pixel serves
+        # every level: V_1..V_R (up) then W_1..W_R (down)
+        aux_rows = jnp.stack(v_rows[1:] + w_rows[1:])  # [2R, n, wid, f]
+        cps = cp["up_h"] + cp["dn_h"]
 
         def col_body(inner, c):
             h0buf, hbuf, hmbuf, key = inner
-            # T_0 = h_init: row-parallel up-stack part + h_left (per pixel)
-            hl = hleft[1]
-            for dy, dx, w in hleft[0]:  # taps: (-1,-1) and (0,-1) on h0
-                hl = hl + at(h0buf[:, 1:, :, :], dy + 1, c + 1 + dx) @ w
+            # context gathers: one slice per buffer covers ALL levels' taps
+            hctx = jax.lax.dynamic_slice(
+                hbuf, (0, 0, 0, c, 0), (kh, n, 2, 2, f)
+            )
+            mctx = jax.lax.dynamic_slice(
+                hmbuf, (0, 0, 0, c, 0), (2 * n_res, n, 2, 2, 2 * f)
+            )
+            auxcol = jax.lax.dynamic_slice(
+                aux_rows, (0, 0, c, 0), (2 * n_res, n, 1, f)
+            )[:, :, 0, :]
+            h0ctx = jax.lax.dynamic_slice(
+                h0buf, (0, 1, c, 0), (n, 2, 1, f)
+            )[:, :, 0, :]
+
+            # T_0 = h_init: row-parallel up-stack part + h_left (per pixel,
+            # 2 cached taps fused into one matmul)
+            hl = (
+                jnp.concatenate([h0ctx[:, 0], h0ctx[:, 1]], axis=-1)
+                @ hleft_w
+                + hleft[1]
+            )
             cur = [
                 jax.lax.dynamic_slice(
                     hup_row, (0, c, 0), (n, 1, f)
                 )[:, 0, :] + hl
             ]
-            hbuf = hbuf.at[0].set(put(hbuf[0], 1, c + 1, cur[0]))
-            new_hm = hmbuf
-            # up horizontal blocks: aux = V_i at (r, c)
-            for i in range(n_res):
-                aux = jax.lax.dynamic_slice(
-                    v_rows[i + 1], (0, c, 0), (n, 1, f)
-                )[:, 0, :]
+            ms = []
+            # up horizontal blocks: aux = V_i at (r, c);
+            # down blocks: aux = concat(W_i, skip T_{R-1-i})
+            for i in range(2 * n_res):
+                if i < n_res:
+                    aux = auxcol[i]
+                else:
+                    aux = jnp.concatenate(
+                        [auxcol[i], cur[2 * n_res - 1 - i]], axis=-1
+                    )
                 out, m = gated_pixel(
-                    up_h[i], cp["up_h"][i], hbuf[i], new_hm[i], cur[i],
-                    aux, c,
+                    fused_h[i], cps[i], hctx[i], mctx[i], cur[i], aux
                 )
                 cur.append(out)
-                hbuf = hbuf.at[i + 1].set(put(hbuf[i + 1], 1, c + 1, out))
-                new_hm = new_hm.at[i].set(put(new_hm[i], 1, c + 1, m))
-            # down horizontal blocks: aux = concat(W_i, skip T_{R-1-i})
-            for i in range(n_res):
-                wv = jax.lax.dynamic_slice(
-                    w_rows[i + 1], (0, c, 0), (n, 1, f)
-                )[:, 0, :]
-                aux = jnp.concatenate([wv, cur[n_res - 1 - i]], axis=-1)
-                out, m = gated_pixel(
-                    dn_h[i], cp["dn_h"][i],
-                    hbuf[n_res + i], new_hm[n_res + i],
-                    cur[n_res + i], aux, c,
-                )
-                cur.append(out)
-                hbuf = hbuf.at[n_res + i + 1].set(
-                    put(hbuf[n_res + i + 1], 1, c + 1, out)
-                )
-                new_hm = new_hm.at[n_res + i].set(
-                    put(new_hm[n_res + i], 1, c + 1, m)
-                )
+                ms.append(m)
             logits = jax.nn.elu(cur[-1]) @ logits_w + logits_b
             key, k = jax.random.split(key)
             s = jax.random.categorical(k, logits, axis=-1).astype(jnp.int32)
+            # deferred writes: ONE column update per buffer commits the whole
+            # pixel's chain (no same-pixel reads go through the buffers)
+            hbuf = jax.lax.dynamic_update_slice(
+                hbuf, jnp.stack(cur)[:, :, None, None, :], (0, 0, 1, c + 1, 0)
+            )
+            hmbuf = jax.lax.dynamic_update_slice(
+                hmbuf, jnp.stack(ms)[:, :, None, None, :], (0, 0, 1, c + 1, 0)
+            )
             h0buf = jax.lax.dynamic_update_slice(
                 h0buf, embed[s][:, None, None, :], (0, 2, c + 1, 0)
             )
-            return (h0buf, hbuf, new_hm, key), s
+            return (h0buf, hbuf, hmbuf, key), s
 
         (h0buf, hbuf, hmbuf, key), samples_row = jax.lax.scan(
             col_body, (h0buf, hbuf, hmbuf, key), jnp.arange(wid)
