@@ -73,6 +73,18 @@ def compute_prd_from_embedding(
         )
     eval_data = np.asarray(eval_data, np.float64)
     ref_data = np.asarray(ref_data, np.float64)
+    total = len(eval_data) + len(ref_data)
+    if total < num_clusters:
+        # tiny smoke runs: k-means needs n_samples >= n_clusters; clamping
+        # only changes behavior below protocol scale (20 clusters needs >= 20
+        # embeddings, reference prd_score.py:138 would raise here too)
+        import warnings
+
+        warnings.warn(
+            f"clamping PRD num_clusters {num_clusters} -> {total} "
+            f"(only {total} embeddings)"
+        )
+        num_clusters = total
     precisions, recalls = [], []
     for _ in range(num_runs):
         e, r = _bin_by_clusters(eval_data, ref_data, num_clusters)
