@@ -54,14 +54,93 @@ def softplus_scale(x: jnp.ndarray, shift: float = 1e-5) -> jnp.ndarray:
     return jax.nn.softplus(x) + shift
 
 
+# -- small-matrix triangular solves ------------------------------------------
+#
+# XLA's batched TriangularSolve is pathologically slow on TPU for the tiny
+# matrices the models use: at the VDVAE pm_kl shapes ([16, 28, 28] positions,
+# k=16) ONE block's solves cost 16.9 ms on a v5e — most of the 235 ms train
+# step across ~29 blocks (measured, BASELINE.md). Unrolled forward
+# substitution over k steps of batched vector FMAs is 12x faster forward;
+# autodiff through the unrolled graph is slow, so the backward is the
+# hand-written adjoint (one transpose-solve + a masked outer product), which
+# is again unrolled substitution.
+
+_UNROLL_MAX_DIM = 32
+
+
+def _unrolled_solve(tril: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Forward substitution for ``tril @ Y = rhs``; rhs ``[..., k, r]``."""
+    k = tril.shape[-1]
+    rows = []
+    for i in range(k):
+        acc = rhs[..., i, :]
+        for j in range(i):
+            acc = acc - tril[..., i, j, None] * rows[j]
+        rows.append(acc / tril[..., i, i, None])
+    return jnp.stack(rows, axis=-2)
+
+
+def _unrolled_solve_t(tril: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Back substitution for ``tril^T @ Y = rhs``; rhs ``[..., k, r]``."""
+    k = tril.shape[-1]
+    rows: list = [None] * k
+    for i in reversed(range(k)):
+        acc = rhs[..., i, :]
+        for j in range(i + 1, k):
+            acc = acc - tril[..., j, i, None] * rows[j]
+        rows[i] = acc / tril[..., i, i, None]
+    return jnp.stack(rows, axis=-2)
+
+
+@jax.custom_vjp
+def tril_matsolve(tril: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solves ``tril @ Y = rhs`` for matrix ``rhs`` ``[..., k, r]`` with
+    lower-triangular ``tril`` ``[..., k, k]`` (batch dims must match).
+
+    Unrolled substitution for k <= 32 (see module note), XLA solve beyond.
+    """
+    if tril.shape[-1] <= _UNROLL_MAX_DIM:
+        return _unrolled_solve(tril, rhs)
+    return jax.scipy.linalg.solve_triangular(tril, rhs, lower=True)
+
+
+def _tril_matsolve_fwd(tril, rhs):
+    y = tril_matsolve(tril, rhs)
+    return y, (tril, y)
+
+
+def _tril_matsolve_bwd(res, g):
+    # Adjoint of Y = L^-1 B:  dB = L^-T G;  dL = -tril(dB @ Y^T).
+    tril, y = res
+    if tril.shape[-1] <= _UNROLL_MAX_DIM:
+        db = _unrolled_solve_t(tril, g)
+    else:
+        db = jax.scipy.linalg.solve_triangular(
+            tril, g, lower=True, trans=1
+        )
+    dl = -jnp.einsum("...ir,...jr->...ij", db, y)
+    dl = jnp.tril(dl)
+    return dl, db
+
+
+tril_matsolve.defvjp(_tril_matsolve_fwd, _tril_matsolve_bwd)
+
+
 def tril_solve(tril: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Solves ``tril @ y = rhs`` for y with lower-triangular ``tril``.
 
     ``rhs`` has shape ``[..., dim]``; batch dims broadcast against ``tril``'s.
     """
-    return jax.scipy.linalg.solve_triangular(
-        tril, rhs[..., None], lower=True
-    )[..., 0]
+    tril = jnp.broadcast_to(tril, rhs.shape + rhs.shape[-1:])
+    return tril_matsolve(tril, rhs[..., None])[..., 0]
+
+
+def tril_inverse_scaled(tril: jnp.ndarray, diag: jnp.ndarray) -> jnp.ndarray:
+    """``tril^-1 @ diag(d)`` as one multi-RHS unrolled solve — the
+    ``tr(Sq^-1 Sp)`` building block of KL(diag || TriL)."""
+    k = tril.shape[-1]
+    rhs = jnp.eye(k, dtype=tril.dtype) * diag[..., None, :]
+    return tril_matsolve(jnp.broadcast_to(tril, rhs.shape), rhs)
 
 
 def log_ndtr_diff_stable(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

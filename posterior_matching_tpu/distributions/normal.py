@@ -18,6 +18,8 @@ from posterior_matching_tpu.distributions._math import (
     LOG_2PI,
     LOG_2PIE,
     sum_rightmost,
+    tril_inverse_scaled,
+    tril_matsolve,
     tril_solve,
 )
 
@@ -167,11 +169,11 @@ def _kl_diag_tril(
     """
     k = p.event_size
     lq = jnp.broadcast_to(q.scale_tril, p.loc.shape + (k,))
-    # tr(Sq^-1 Sp) = || L^-1 diag(sp) ||_F^2, column i of diag(sp) is sp_i e_i.
-    # L^-1 diag(sp) has columns sp_i * (L^-1 e_i) -> solve for identity once.
-    eye = jnp.broadcast_to(jnp.eye(k, dtype=p.loc.dtype), lq.shape)
-    l_inv = jax.scipy.linalg.solve_triangular(lq, eye, lower=True)
-    trace = jnp.sum((l_inv * p.scale_diag[..., None, :]) ** 2, axis=(-2, -1))
+    # tr(Sq^-1 Sp) = || L^-1 diag(sp) ||_F^2 — one multi-RHS unrolled solve
+    # (XLA's batched TriangularSolve costs ~17 ms per VDVAE block here;
+    # see distributions/_math.py)
+    n = tril_inverse_scaled(lq, p.scale_diag)
+    trace = jnp.sum(n * n, axis=(-2, -1))
     diff = q.loc - p.loc
     maha = jnp.sum(tril_solve(lq, diff) ** 2, axis=-1)
     log_det_q = jnp.sum(
@@ -204,7 +206,7 @@ def _kl_tril_tril(
     k = p.event_size
     lq = jnp.broadcast_to(q.scale_tril, p.loc.shape + (k,))
     lp = jnp.broadcast_to(p.scale_tril, p.loc.shape + (k,))
-    m = jax.scipy.linalg.solve_triangular(lq, lp, lower=True)
+    m = tril_matsolve(lq, lp)
     trace = jnp.sum(m * m, axis=(-2, -1))
     diff = q.loc - p.loc
     maha = jnp.sum(tril_solve(lq, diff) ** 2, axis=-1)
