@@ -118,7 +118,12 @@ def _tril_matsolve_bwd(res, g):
         db = jax.scipy.linalg.solve_triangular(
             tril, g, lower=True, trans=1
         )
-    dl = -jnp.einsum("...ir,...jr->...ij", db, y)
+    # HIGHEST: TPU matmuls default to bf16 multiplies — fine for network
+    # layers, not for gradients of a KL (measured 9e-2 abs error at VDVAE
+    # shapes without it)
+    dl = -jnp.einsum(
+        "...ir,...jr->...ij", db, y, precision=jax.lax.Precision.HIGHEST
+    )
     dl = jnp.tril(dl)
     return dl, db
 

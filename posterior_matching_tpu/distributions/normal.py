@@ -142,7 +142,10 @@ class MultivariateNormalTriL:
     def sample(self, key: jax.Array, sample_shape: tuple = ()) -> jnp.ndarray:
         shape = tuple(sample_shape) + self.loc.shape
         eps = jax.random.normal(key, shape, self.loc.dtype)
-        return self.loc + jnp.einsum("...ij,...j->...i", self.scale_tril, eps)
+        return self.loc + jnp.einsum(
+            "...ij,...j->...i", self.scale_tril, eps,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     def mean(self) -> jnp.ndarray:
         return self.loc

@@ -359,23 +359,32 @@ class DecoderBlock(nn.Module):
 
         post_loc, post_scale = self._posterior(x, acts)
         posterior = MultivariateNormalDiag(loc=post_loc, scale_diag=post_scale)
-        posterior_sg = MultivariateNormalDiag(
-            loc=jax.lax.stop_gradient(post_loc),
-            scale_diag=jax.lax.stop_gradient(post_scale),
-        )
-        masked_posterior = self._masked_posterior(
-            jax.lax.stop_gradient(x), masked_acts
+        # pm_kl ingredients are returned RAW (unconstrained masked-posterior
+        # params + stop-grad diag stats, flattened per position); the Decoder
+        # computes ONE batched fill_scale_tril + KL(diag || TriL) over every
+        # block's positions — identical math, ~an-order-of-magnitude fewer
+        # HLO ops than per-block unrolled solves (29 blocks of tiny tensors
+        # pay per-op dispatch 29x; see BASELINE.md).
+        masked_params = self.masked_posterior_block(
+            jnp.concatenate(
+                [jax.lax.stop_gradient(x), masked_acts], axis=-1
+            )
         )
         prior, h = self._prior(x)
 
         x = x + h
         z = posterior.sample(self.make_rng("sample"))
         kl = self._sum_spatial(posterior.kl_divergence(prior))
-        pm_kl = self._sum_spatial(
-            posterior_sg.kl_divergence(masked_posterior)
-        )
 
-        return self._finish(xs, x, z), dict(z=z, kl=kl, pm_kl=pm_kl)
+        batch = post_loc.shape[0]
+        ld = self.latent_dim
+        flat = lambda t: t.reshape(batch, -1, t.shape[-1])
+        pm = dict(
+            raw=flat(masked_params),
+            loc=flat(jax.lax.stop_gradient(post_loc)),
+            scale=flat(jax.lax.stop_gradient(post_scale)),
+        )
+        return self._finish(xs, x, z), dict(z=z, kl=kl, pm=pm)
 
     def forward_partial_posterior(self, xs, masked_activations):
         masked_acts = masked_activations[self.res]
@@ -500,6 +509,29 @@ class Decoder(nn.Module):
                 xs, activations, masked_activations
             )
             stats.append(s)
+
+        # ONE batched pm_kl across every block's positions (see the note in
+        # DecoderBlock.forward_posterior), then per-block sums so the stats
+        # contract (pm_kl per block, [B]) is unchanged.
+        ld = self.latent_dim
+        raw = jnp.concatenate([s["pm"]["raw"] for s in stats], axis=1)
+        p = MultivariateNormalDiag(
+            loc=jnp.concatenate([s["pm"]["loc"] for s in stats], axis=1),
+            scale_diag=jnp.concatenate(
+                [s["pm"]["scale"] for s in stats], axis=1
+            ),
+        )
+        q = MultivariateNormalTriL(
+            loc=raw[..., :ld],
+            scale_tril=fill_scale_tril(raw[..., ld:], ld),
+        )
+        pm_flat = p.kl_divergence(q)  # [B, total positions]
+        start = 0
+        for s in stats:
+            n = s["pm"]["raw"].shape[1]
+            s["pm_kl"] = jnp.sum(pm_flat[:, start : start + n], axis=1)
+            start += n
+            del s["pm"]
         return self._final(xs[self.image_size]), stats
 
     def forward_partial_posterior(self, masked_activations):
