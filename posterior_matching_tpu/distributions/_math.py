@@ -118,12 +118,12 @@ def _tril_matsolve_bwd(res, g):
         db = jax.scipy.linalg.solve_triangular(
             tril, g, lower=True, trans=1
         )
-    # HIGHEST: TPU matmuls default to bf16 multiplies — fine for network
-    # layers, not for gradients of a KL (measured 9e-2 abs error at VDVAE
-    # shapes without it)
-    dl = -jnp.einsum(
-        "...ir,...jr->...ij", db, y, precision=jax.lax.Precision.HIGHEST
-    )
+    # The outer product is unrolled over r as f32 VPU FMAs: a batched-tiny
+    # einsum lowers to MXU matmuls that are BOTH slower (9.9 ms vs 2.4 ms at
+    # [16, 7157, 16, 16]) and bf16-by-default (9e-2 abs gradient error
+    # unless Precision.HIGHEST, which is slower still).
+    r = y.shape[-1]
+    dl = -sum(db[..., :, m, None] * y[..., None, :, m] for m in range(r))
     dl = jnp.tril(dl)
     return dl, db
 

@@ -377,7 +377,6 @@ class DecoderBlock(nn.Module):
         kl = self._sum_spatial(posterior.kl_divergence(prior))
 
         batch = post_loc.shape[0]
-        ld = self.latent_dim
         flat = lambda t: t.reshape(batch, -1, t.shape[-1])
         pm = dict(
             raw=flat(masked_params),
