@@ -68,28 +68,39 @@ def softplus_scale(x: jnp.ndarray, shift: float = 1e-5) -> jnp.ndarray:
 _UNROLL_MAX_DIM = 32
 
 
+# Layout note: the substitutions run TRANSPOSED, [k, k|r, *batch], so the
+# (large) batch is the innermost/lane dimension. In the natural [..., k, r]
+# layout the k/r=16-wide trailing axes use 16 of 128 VPU lanes — profiling
+# the VDVAE step showed its add_multiply fusions (these chains) at ~32 ms;
+# batch-innermost runs the same op count at full lane utilization.
+
+
 def _unrolled_solve(tril: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Forward substitution for ``tril @ Y = rhs``; rhs ``[..., k, r]``."""
     k = tril.shape[-1]
+    lt = jnp.moveaxis(tril, (-2, -1), (0, 1))  # [k, k, *batch]
+    bt = jnp.moveaxis(rhs, (-2, -1), (0, 1))  # [k, r, *batch]
     rows = []
     for i in range(k):
-        acc = rhs[..., i, :]
+        acc = bt[i]
         for j in range(i):
-            acc = acc - tril[..., i, j, None] * rows[j]
-        rows.append(acc / tril[..., i, i, None])
-    return jnp.stack(rows, axis=-2)
+            acc = acc - lt[i, j][None] * rows[j]
+        rows.append(acc / lt[i, i][None])
+    return jnp.moveaxis(jnp.stack(rows), (0, 1), (-2, -1))
 
 
 def _unrolled_solve_t(tril: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Back substitution for ``tril^T @ Y = rhs``; rhs ``[..., k, r]``."""
     k = tril.shape[-1]
+    lt = jnp.moveaxis(tril, (-2, -1), (0, 1))
+    bt = jnp.moveaxis(rhs, (-2, -1), (0, 1))
     rows: list = [None] * k
     for i in reversed(range(k)):
-        acc = rhs[..., i, :]
+        acc = bt[i]
         for j in range(i + 1, k):
-            acc = acc - tril[..., j, i, None] * rows[j]
-        rows[i] = acc / tril[..., i, i, None]
-    return jnp.stack(rows, axis=-2)
+            acc = acc - lt[j, i][None] * rows[j]
+        rows[i] = acc / lt[i, i][None]
+    return jnp.moveaxis(jnp.stack(rows), (0, 1), (-2, -1))
 
 
 @jax.custom_vjp
@@ -118,13 +129,16 @@ def _tril_matsolve_bwd(res, g):
         db = jax.scipy.linalg.solve_triangular(
             tril, g, lower=True, trans=1
         )
-    # The outer product is unrolled over r as f32 VPU FMAs: a batched-tiny
-    # einsum lowers to MXU matmuls that are BOTH slower (9.9 ms vs 2.4 ms at
-    # [16, 7157, 16, 16]) and bf16-by-default (9e-2 abs gradient error
-    # unless Precision.HIGHEST, which is slower still).
+    # The outer product is unrolled over r as f32 VPU FMAs (batch innermost,
+    # see the layout note above): a batched-tiny einsum lowers to MXU
+    # matmuls that are BOTH slower (9.9 ms vs 2.4 ms at [16, 7157, 16, 16])
+    # and bf16-by-default (9e-2 abs gradient error unless
+    # Precision.HIGHEST, which is slower still).
     r = y.shape[-1]
-    dl = -sum(db[..., :, m, None] * y[..., None, :, m] for m in range(r))
-    dl = jnp.tril(dl)
+    dbt = jnp.moveaxis(db, (-2, -1), (0, 1))  # [k, r, *batch]
+    yt = jnp.moveaxis(y, (-2, -1), (0, 1))
+    dl_t = -sum(dbt[:, m][:, None] * yt[:, m][None, :] for m in range(r))
+    dl = jnp.tril(jnp.moveaxis(dl_t, (0, 1), (-2, -1)))
     return dl, db
 
 
