@@ -357,3 +357,20 @@ def test_rng_impl_validation():
     ds, loss_fn, init_fn = _make_problem()
     with pytest.raises(ValueError):
         Trainer(loss_fn, init_fn, optax.adam(1e-2), rng_impl="bogus")
+
+
+def test_multi_device_step_contains_gradient_allreduce():
+    """The 8-device sharded train step must lower to an HLO containing a
+    cross-replica all-reduce for the gradients (XLA inserts it from the
+    NamedSharding — this pins the data-parallel semantics at the compiler
+    level, not just numerically)."""
+    ds, loss_fn, init_fn = _make_problem()
+    t8 = Trainer(loss_fn, init_fn, optax.adam(1e-2), num_devices=8, seed=0)
+    first = next(iter(ds))
+    ts = t8.init(t8._shard(first))
+    t8._train_step = t8._make_train_step()
+    lowered = t8._train_step.lower(
+        ts, t8._shard(first), jax.random.PRNGKey(0)
+    )
+    hlo = lowered.compile().as_text()
+    assert "all-reduce" in hlo, "no gradient all-reduce in the 8-device step"
