@@ -288,3 +288,35 @@ def test_kl_diag_tril_matches_mc():
     z = p.sample(jax.random.PRNGKey(0), (200000,))
     mc = jnp.mean(p.log_prob(z) - q.log_prob(z), axis=0)
     np.testing.assert_allclose(analytic, mc, rtol=0.05, atol=0.05)
+
+
+def test_tril_matsolve_large_k_fallback():
+    """k > 32 routes to XLA's solve (values and the custom-VJP backward must
+    still agree with autodiff through the XLA path)."""
+    from posterior_matching_tpu.distributions._math import (
+        _UNROLL_MAX_DIM,
+        tril_matsolve,
+    )
+
+    k = _UNROLL_MAX_DIM + 8
+    rng = np.random.RandomState(2)
+    L = np.tril(rng.rand(3, k, k).astype(np.float32)) + 2 * np.eye(
+        k, dtype=np.float32
+    )
+    B = rng.rand(3, k, 2).astype(np.float32)
+    got = tril_matsolve(jnp.asarray(L), jnp.asarray(B))
+    want = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    g1 = jax.grad(lambda L: jnp.sum(tril_matsolve(L, jnp.asarray(B)) ** 2))(
+        jnp.asarray(L)
+    )
+    g2 = jax.grad(
+        lambda L: jnp.sum(
+            jax.scipy.linalg.solve_triangular(L, B, lower=True) ** 2
+        )
+    )(jnp.asarray(L))
+    np.testing.assert_allclose(
+        np.tril(np.asarray(g1)), np.tril(np.asarray(g2)), rtol=1e-4,
+        atol=1e-4,
+    )
