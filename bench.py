@@ -1,28 +1,49 @@
 """Benchmark: PM-VQVAE CelebA training steps/sec/chip (the north-star metric,
 BASELINE.md).
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE final JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 ``value`` is the steady-state optimizer steps/sec of our best fused pipeline
 on the reference's PM-VQVAE CelebA workload shape
 (configs/pm_vqvae_celeb_a.py: 64x64x3 images, batch 32, 16x16 code grid, 12
-gated resnet blocks, 128 filters, codebook 512). Four framework variants are
-measured and the best reported: {f32, bf16 conv stacks} x {one dispatch per
-step, scan-fused 20-step chunks (the Trainer's steps_per_call/DeviceDataset
-execution mode — device-resident data, on-device masks, one dispatch per
-chunk)}.
+gated resnet blocks, 128 filters, codebook 512).
 
 ``vs_baseline`` is measured, not assumed: the same model stepped the way the
 reference's input pipeline works — per-batch host-side numpy mask generation
 (reference masking.py:342 tf.py_function) + host->device transfer + one
 dispatch each step — on the same chip. The ratio is the end-to-end win of
 moving the input pipeline into the XLA program.
+
+Robustness architecture (round 2): the round-1 driver capture died because a
+single transient remote-compile tunnel failure (HTTP 500 / broken pipe) hit
+``model.init`` and took the whole process down.  Now every variant runs in a
+FRESH SUBPROCESS (``python bench.py --variant X``) with retries and a
+timeout; the parent process never imports jax, so a dead tunnel in one child
+cannot poison the rest of the capture.  Variants run best-expected-first and
+the final JSON is emitted from whatever succeeded.  The persistent XLA
+compile cache (runtime.configure_environment) makes retries cheap after the
+first successful compile.
 """
+import argparse
 import functools
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+# Steady-state dispatch counts. Kept modest: the driver runs this once at
+# round end; the compile (cached) dominates wall time, not the timed region.
+N_DISPATCH = 30
+CHUNK = 20
+
+# Recorded host-pipeline baseline (BASELINE.md, measured 2026-08-16 on the
+# same chip/workload) — used for vs_baseline ONLY if the live host-pipeline
+# measurement fails after retries; the JSON then marks the fallback.
+RECORDED_HOST_STEPS_PER_SEC = 24.4
 
 
 def build(compute_dtype=None):
@@ -110,8 +131,6 @@ def build(compute_dtype=None):
     # framework's Trainer(steps_per_call=...) + DeviceDataset execution mode.
     # Possible only because masks are generated on device; the reference's
     # host mask callback forces one dispatch (and transfer) per step.
-    CHUNK = 20
-
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def fused_chunk(params, opt_state, state, images, key):
         def body(carry, _):
@@ -132,7 +151,7 @@ def build(compute_dtype=None):
 
     return (
         jax, jnp, model, mask_fn, images, params, state, opt_state,
-        fused_step, fused_chunk, CHUNK, naive_step,
+        fused_step, fused_chunk, naive_step,
     )
 
 
@@ -179,77 +198,154 @@ def _time_fused(
     return n * steps_per_call / (time.perf_counter() - t0)
 
 
-def main():
+# ---------------------------------------------------------------------------
+# Child mode: measure one variant, print {"steps_per_sec": N} on the LAST
+# stdout line.
+# ---------------------------------------------------------------------------
+
+def run_variant(name):
     import jax
     import jax.numpy as jnp
 
-    n = 30
-
-    # ---- fused pipeline, f32 ----
+    dtype = "bfloat16" if name.endswith("bf16") else None
     (
         jax_, jnp_, model, mask_fn, images, params, state, opt_state,
-        fused_step, fused_chunk, chunk, naive_step,
-    ) = build()
-    fused_f32_sps = _time_fused(
-        jax, jnp, params, state, opt_state, fused_step, images, n
-    )
+        fused_step, fused_chunk, naive_step,
+    ) = build(compute_dtype=dtype)
 
-    # ---- reference-style host pipeline (f32, host masks each step) ----
-    key = jax.random.PRNGKey(0)
-    rng = np.random.RandomState(0)
-    p = jax.tree.map(jnp.copy, params)
-    o = jax.tree.map(jnp.copy, opt_state)
-    for _ in range(2):
-        b = jnp.asarray(host_masks(images.shape, rng))
-        x = jnp.asarray(images + rng.rand(*images.shape).astype(np.float32) * 0)
-        p, o, key = naive_step(p, o, state, x, b, key)
-    _sync(jax, jnp, p)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        b = jnp.asarray(host_masks(images.shape, rng))
-        x = jnp.asarray(images.copy())  # fresh host batch each step
-        p, o, key = naive_step(p, o, state, x, b, key)
-    _sync(jax, jnp, p)
-    naive_sps = n / (time.perf_counter() - t0)
-
-    # ---- fused pipeline, bf16 conv stacks (params/heads stay f32) ----
-    (
-        _, _, _, _, _, params16, state16, opt16,
-        fused_step16, fused_chunk16, chunk16, _,
-    ) = build(compute_dtype="bfloat16")
-    fused_bf16_sps = _time_fused(
-        jax, jnp, params16, state16, opt16, fused_step16, images, n
-    )
-
-    # ---- scan-fused chunks (Trainer steps_per_call mode), bf16 ----
-    chunked_bf16_sps = _time_fused(
-        jax, jnp, params16, state16, opt16, fused_chunk16, images,
-        max(n // chunk16, 3), steps_per_call=chunk16,
-    )
-    chunked_f32_sps = _time_fused(
-        jax, jnp, params, state, opt_state, fused_chunk, images,
-        max(n // chunk, 3), steps_per_call=chunk,
-    )
-
-    fused_sps = max(
-        fused_f32_sps, fused_bf16_sps, chunked_f32_sps, chunked_bf16_sps
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "pm_vqvae_celeba_train_steps_per_sec_per_chip",
-                "value": round(fused_sps, 4),
-                "unit": "steps/sec",
-                "vs_baseline": round(fused_sps / naive_sps, 4),
-                "fused_f32_steps_per_sec": round(fused_f32_sps, 4),
-                "fused_bf16_steps_per_sec": round(fused_bf16_sps, 4),
-                "chunked_f32_steps_per_sec": round(chunked_f32_sps, 4),
-                "chunked_bf16_steps_per_sec": round(chunked_bf16_sps, 4),
-                "host_masking_steps_per_sec": round(naive_sps, 4),
-            }
+    if name.startswith("chunked"):
+        sps = _time_fused(
+            jax, jnp, params, state, opt_state, fused_chunk, images,
+            max(N_DISPATCH // CHUNK, 3), steps_per_call=CHUNK,
         )
+    elif name.startswith("fused"):
+        sps = _time_fused(
+            jax, jnp, params, state, opt_state, fused_step, images, N_DISPATCH
+        )
+    elif name == "host_baseline":
+        key = jax.random.PRNGKey(0)
+        rng = np.random.RandomState(0)
+        p = jax.tree.map(jnp.copy, params)
+        o = jax.tree.map(jnp.copy, opt_state)
+        for _ in range(2):
+            b = jnp.asarray(host_masks(images.shape, rng))
+            x = jnp.asarray(images.copy())
+            p, o, key = naive_step(p, o, state, x, b, key)
+        _sync(jax, jnp, p)
+        t0 = time.perf_counter()
+        for _ in range(N_DISPATCH):
+            b = jnp.asarray(host_masks(images.shape, rng))
+            x = jnp.asarray(images.copy())  # fresh host batch each step
+            p, o, key = naive_step(p, o, state, x, b, key)
+        _sync(jax, jnp, p)
+        sps = N_DISPATCH / (time.perf_counter() - t0)
+    else:
+        raise ValueError(f"unknown variant {name!r}")
+    print(json.dumps({"steps_per_sec": sps}))
+
+
+# ---------------------------------------------------------------------------
+# Parent mode: orchestrate subprocesses with retries; emit the final JSON.
+# ---------------------------------------------------------------------------
+
+def _measure_in_subprocess(variant, tries=3, timeout_s=2400):
+    """Runs one variant in a fresh python process; retries on any failure
+    (the remote-compile tunnel flakes transiently — a fresh process gets a
+    fresh tunnel connection). Returns steps/sec or None."""
+    for attempt in range(1, tries + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--variant", variant],
+                capture_output=True, text=True, timeout=timeout_s,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if proc.returncode == 0:
+                for line in reversed(proc.stdout.strip().splitlines()):
+                    line = line.strip()
+                    if line.startswith("{"):
+                        return float(json.loads(line)["steps_per_sec"])
+            err_tail = (proc.stderr or "")[-500:]
+            print(
+                f"# bench variant {variant} attempt {attempt}/{tries} failed "
+                f"(rc={proc.returncode}): ...{err_tail!r}",
+                file=sys.stderr,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"# bench variant {variant} attempt {attempt}/{tries} timed out",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001 — keep the capture alive
+            print(
+                f"# bench variant {variant} attempt {attempt}/{tries}: {e!r}",
+                file=sys.stderr,
+            )
+        time.sleep(min(10.0 * attempt, 30.0))
+    return None
+
+
+def main():
+    # Best-expected variant first: if later variants die, the primary number
+    # is already in hand. Partial results land in BENCH_PARTIAL.json after
+    # every variant so even a parent crash leaves an inspectable record.
+    plan = [
+        "chunked_bf16",
+        "host_baseline",
+        "fused_bf16",
+        "chunked_f32",
+        "fused_f32",
+    ]
+    results = {}
+    partial_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_PARTIAL.json"
     )
+    for variant in plan:
+        sps = _measure_in_subprocess(variant)
+        if sps is not None:
+            results[variant] = sps
+        try:
+            with open(partial_path, "w") as f:
+                json.dump(results, f)
+        except OSError:
+            pass
+        # Primary + baseline captured and at least one more fused variant
+        # measured: that is a complete capture; keep going only as budget
+        # allows (every variant after the first hits the compile cache).
+
+    fused_names = ["chunked_bf16", "fused_bf16", "chunked_f32", "fused_f32"]
+    fused = {k: v for k, v in results.items() if k in fused_names}
+    if not fused:
+        # Nothing measured at all — emit an explicit failure record (rc!=0).
+        print(json.dumps({"metric": "pm_vqvae_celeba_train_steps_per_sec_per_chip",
+                          "value": None, "unit": "steps/sec",
+                          "error": "all variants failed", **results}))
+        sys.exit(1)
+
+    best = max(fused.values())
+    naive = results.get("host_baseline")
+    baseline_source = "measured"
+    if naive is None:
+        naive = RECORDED_HOST_STEPS_PER_SEC
+        baseline_source = "recorded_round1"
+
+    out = {
+        "metric": "pm_vqvae_celeba_train_steps_per_sec_per_chip",
+        "value": round(best, 4),
+        "unit": "steps/sec",
+        "vs_baseline": round(best / naive, 4),
+        "baseline_source": baseline_source,
+        "host_masking_steps_per_sec": round(naive, 4),
+    }
+    for k, v in fused.items():
+        out[f"{k}_steps_per_sec"] = round(v, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--variant", default=None)
+    args = parser.parse_args()
+    if args.variant:
+        run_variant(args.variant)
+    else:
+        main()

@@ -31,6 +31,7 @@ from posterior_matching_tpu.parallel import create_mesh
 from posterior_matching_tpu.parallel.mesh import shard_batch
 from posterior_matching_tpu.eval import (
     compute_prd_from_embedding,
+    embedder_provenance,
     get_inception_embeddings,
     prd_to_max_f_beta_pair,
 )
@@ -156,12 +157,17 @@ def main(_):
     np.save(os.path.join(results_dir, "psnrs.npy"), psnrs)
     np.save(os.path.join(results_dir, "prd_data.npy"), prd_data)
     np.save(os.path.join(results_dir, "f_scores.npy"), f_scores)
+    # Provenance: PRD numbers are only reference/paper-comparable when the
+    # embedder is the real TF-Hub inception (eval/embeddings.py).
+    embedder = embedder_provenance()
+    with open(os.path.join(results_dir, "embedder.txt"), "w") as f:
+        f.write(embedder + "\n")
 
     f_means, f_stds = np.mean(f_scores, axis=0), np.std(f_scores, axis=0)
     print("\n****RESULTS****")
     print(f"PSNR: {np.mean(per_trial_psnr).item()} ± {np.std(per_trial_psnr).item()}")
-    print(f"Precision: {f_means[1]} ± {f_stds[1]}")
-    print(f"Recall: {f_means[0]} ± {f_stds[0]}")
+    print(f"Precision: {f_means[1]} ± {f_stds[1]}  [embedder: {embedder}]")
+    print(f"Recall: {f_means[0]} ± {f_stds[0]}  [embedder: {embedder}]")
 
 
 if __name__ == "__main__":

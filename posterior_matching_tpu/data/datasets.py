@@ -52,6 +52,7 @@ class ArrayDataset:
         self._drop_remainder = drop_remainder
         self._rng = np.random.RandomState(seed)
         self._transform = transform
+        self._pending_skip = 0  # batches to skip (index-only) next epoch
 
     @property
     def batch_size(self) -> int:
@@ -132,13 +133,48 @@ class ArrayDataset:
         stop = (
             self._n - self._batch_size + 1 if self._drop_remainder else self._n
         )
-        for start in range(0, max(stop, 0), self._batch_size):
+        # Constant-time resume (skip_stream): skipped batches cost index
+        # arithmetic only — no gather, no transform.
+        skip, self._pending_skip = self._pending_skip, 0
+        for start in range(
+            skip * self._batch_size, max(stop, 0), self._batch_size
+        ):
             sel = idx[start : start + self._batch_size]
             batch = self._gather(sel)
             if self._transform:
                 batch = self._transform(batch)
             batch.pop("_prescaled", None)
             yield batch
+
+    def spec_batch(self) -> Dict[str, np.ndarray]:
+        """A correctly-shaped batch (the first ``batch_size`` rows, unshuffled)
+        WITHOUT touching the shuffle RNG — for shape/dtype-only consumers like
+        ``Trainer.init`` on the resume path."""
+        sel = np.arange(min(self._batch_size, self._n))
+        batch = self._gather(sel)
+        if self._transform:
+            batch = self._transform(batch)
+        batch.pop("_prescaled", None)
+        return batch
+
+    def skip_stream(self, n: int) -> None:
+        """Advances the batch stream so the NEXT batch drawn (iterating this
+        dataset in repeated epochs) is stream position ``n`` — in
+        O(n / epoch_len) permutation time and ZERO data gathers, instead of
+        the O(n) gather+transform of replaying batches.
+
+        Equivalent RNG semantics to a real replay: each burned epoch consumes
+        exactly one ``shuffle`` call, and the epoch containing position ``n``
+        shuffles when its iteration starts (the in-epoch offset is skipped by
+        index arithmetic inside ``__iter__``).
+        """
+        c = self.cardinality()
+        epochs, pos = divmod(int(n), c)
+        if self._shuffle:
+            idx = np.arange(self._n)
+            for _ in range(epochs):
+                self._rng.shuffle(idx)
+        self._pending_skip = pos
 
     def as_numpy_iterator(self):
         return iter(self)

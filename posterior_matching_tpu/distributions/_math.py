@@ -125,20 +125,32 @@ def _tril_matsolve_bwd(res, g):
     tril, y = res
     if tril.shape[-1] <= _UNROLL_MAX_DIM:
         db = _unrolled_solve_t(tril, g)
+        # The outer product is unrolled over r as f32 VPU FMAs (batch
+        # innermost, see the layout note above): a batched-tiny einsum lowers
+        # to MXU matmuls that are BOTH slower (9.9 ms vs 2.4 ms at
+        # [16, 7157, 16, 16]) and bf16-by-default (9e-2 abs gradient error
+        # unless Precision.HIGHEST, which is slower still).
+        r = y.shape[-1]
+        dbt = jnp.moveaxis(db, (-2, -1), (0, 1))  # [k, r, *batch]
+        yt = jnp.moveaxis(y, (-2, -1), (0, 1))
+        dl_t = -sum(dbt[:, m][:, None] * yt[:, m][None, :] for m in range(r))
+        dl = jnp.tril(jnp.moveaxis(dl_t, (0, 1), (-2, -1)))
     else:
         db = jax.scipy.linalg.solve_triangular(
             tril, g, lower=True, trans=1
         )
-    # The outer product is unrolled over r as f32 VPU FMAs (batch innermost,
-    # see the layout note above): a batched-tiny einsum lowers to MXU
-    # matmuls that are BOTH slower (9.9 ms vs 2.4 ms at [16, 7157, 16, 16])
-    # and bf16-by-default (9e-2 abs gradient error unless
-    # Precision.HIGHEST, which is slower still).
-    r = y.shape[-1]
-    dbt = jnp.moveaxis(db, (-2, -1), (0, 1))  # [k, r, *batch]
-    yt = jnp.moveaxis(y, (-2, -1), (0, 1))
-    dl_t = -sum(dbt[:, m][:, None] * yt[:, m][None, :] for m in range(r))
-    dl = jnp.tril(jnp.moveaxis(dl_t, (0, 1), (-2, -1)))
+        # Large-k fallback: matrices this size tile well on the MXU, and the
+        # unrolled sum would emit k broadcast-multiply terms each
+        # materializing a [k, k, *batch] intermediate (compile-time and
+        # peak-memory blowup). One batched matmul at HIGHEST precision keeps
+        # f32 accuracy.
+        dl = -jnp.tril(
+            jnp.matmul(
+                db,
+                jnp.swapaxes(y, -1, -2),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
     return dl, db
 
 

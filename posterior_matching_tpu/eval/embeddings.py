@@ -18,20 +18,59 @@ Both paths expose the reference's signature:
 from __future__ import annotations
 
 import functools
+import hashlib
+import os
+import warnings
 
 import numpy as np
 
 _INCEPTION_URL = "https://tfhub.dev/tensorflow/tfgan/eval/inception/1"
 
 
+def _tfhub_module_cached() -> bool:
+    """True iff the inception module is already on disk (no download would
+    be triggered). TF-Hub caches each handle under
+    ``$TFHUB_CACHE_DIR/<sha1(handle)>``."""
+    cache_dir = os.environ.get("TFHUB_CACHE_DIR")
+    if not cache_dir:
+        return False
+    module_dir = os.path.join(
+        cache_dir, hashlib.sha1(_INCEPTION_URL.encode("utf8")).hexdigest()
+    )
+    return os.path.isdir(module_dir) and bool(os.listdir(module_dir))
+
+
 @functools.lru_cache(maxsize=1)
 def _try_tfhub():
+    # Only load when the module is ALREADY cached — hub.load would otherwise
+    # attempt a network download mid-eval.
+    if not _tfhub_module_cached():
+        return None
     try:
         import tensorflow_hub as hub  # type: ignore
 
         return hub.load(_INCEPTION_URL)
     except Exception:
         return None
+
+
+@functools.lru_cache(maxsize=1)
+def embedder_provenance() -> str:
+    """Which embedder PRD numbers come from: ``"inception"`` (the reference's
+    protocol, TF-Hub tfgan pool_3) or ``"random_conv"`` (the deterministic
+    fallback — PRD values are then internally consistent but NOT comparable
+    to the reference protocol or the paper). Recorded in eval outputs."""
+    if _try_tfhub() is not None:
+        return "inception"
+    warnings.warn(
+        "TF-Hub inception is not cached; PRD will use the deterministic "
+        "random-conv embedder. Precision/recall values are internally "
+        "consistent but NOT comparable to the reference protocol. Set "
+        "TFHUB_CACHE_DIR to a directory containing the tfgan inception "
+        "module to match the reference.",
+        stacklevel=2,
+    )
+    return "random_conv"
 
 
 @functools.lru_cache(maxsize=1)
@@ -72,6 +111,7 @@ def get_inception_embeddings(
         images = np.tile(images, [1, 1, 1, 3])
     images_u8 = (np.asarray(images) * 255).astype(np.uint8)
 
+    embedder_provenance()  # warn loudly (once) if falling back
     inception = _try_tfhub()
     out = []
     if inception is not None:

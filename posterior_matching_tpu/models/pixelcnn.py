@@ -101,6 +101,14 @@ class _MaskedConv(nn.Module):
                 name="Conv_0",
             )(x)
 
+        # An empty valid region would silently build a zero-size conv with a
+        # confusing XLA error; the masked branch above degrades to an
+        # all-zero conv instead. Neither is ever intended — fail loudly.
+        if r1 <= r0 or c1 <= c0:
+            raise ValueError(
+                f"_MaskedConv valid region is empty: rows [{r0}, {r1}), "
+                f"cols [{c0}, {c1}) for kernel {self.kernel_size}"
+            )
         kernel, bias = _ConvParams(
             (kh, kw, x.shape[-1], self.features), name="Conv_0"
         )()

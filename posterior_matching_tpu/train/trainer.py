@@ -393,9 +393,23 @@ class Trainer:
                 f"validation_freq={validation_freq} must be divisible by "
                 f"steps_per_call={spc}"
             )
+        # Constant-time resume: when the host dataset supports stream
+        # fast-forward (ArrayDataset.skip_stream), defer creating the
+        # iterator until the resume step is known, and use an RNG-neutral
+        # spec batch for init shapes. Falls back to step-by-step replay for
+        # plain iterables.
+        fast_forward = (
+            resume_from is not None
+            and not device_resident
+            and hasattr(train_dataset, "skip_stream")
+            and hasattr(train_dataset, "spec_batch")
+        )
         if device_resident:
             train_iter = None
             first = train_dataset.example_batch()
+        elif fast_forward:
+            train_iter = None
+            first = train_dataset.spec_batch()
         else:
             train_iter = forever(train_dataset)
             first = next(train_iter)
@@ -450,11 +464,18 @@ class Trainer:
 
         start_step = int(ts.step)
         batch = first
-        if not device_resident:
-            # Resume: replay the deterministic batch stream up to the
-            # checkpoint so the resumed run sees exactly the batches the
-            # original would have. (Device-resident sampling is keyed by the
-            # step counter — resume needs no replay.)
+        if fast_forward:
+            # Resume in O(epochs) permutation time + ONE gather: advance the
+            # shuffle RNG past the first start_step stream batches without
+            # materializing them, then draw exactly the batch the original
+            # run would have seen at this step. (Device-resident sampling is
+            # keyed by the step counter — resume needs no fast-forward.)
+            train_dataset.skip_stream(start_step)
+            train_iter = forever(train_dataset)
+            batch = next(train_iter)
+        elif not device_resident and start_step > 0:
+            # Plain-iterable fallback: replay the deterministic batch stream
+            # up to the checkpoint.
             for _ in range(start_step):
                 batch = next(train_iter)
 

@@ -73,6 +73,12 @@ def fast_bits_key(key: jax.Array) -> jax.Array:
     ``uint32[2]``/``uint32[4]`` array; batched key arrays are rejected
     (converting a batch into one key would silently collapse the streams —
     convert each key after splitting instead).
+
+    A 64-bit (threefry) input carries 64 bits of entropy; the rbg key is
+    128-bit, so the upper two words are *derived* from the input via one
+    threefry draw rather than tiled — the resulting keys are unstructured,
+    but the effective key space is still 2^64. Fine for dropout and
+    reparameterization noise; not a CSPRNG expansion.
     """
     if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
         if key.ndim != 0:
@@ -88,7 +94,11 @@ def fast_bits_key(key: jax.Array) -> jax.Array:
                 f"got {key.shape}; split first, convert each"
             )
         data = key
-    data = jnp.tile(data.reshape(-1), 2)[:4].astype(jnp.uint32)
+    data = data.reshape(-1).astype(jnp.uint32)
+    if data.shape[0] == 2:
+        tf_key = jax.random.wrap_key_data(data, impl="threefry2x32")
+        extra = jax.random.bits(tf_key, (2,), dtype=jnp.uint32)
+        data = jnp.concatenate([data, extra])
     return jax.random.wrap_key_data(data, impl="rbg")
 
 

@@ -42,6 +42,91 @@ def _setup():
     return make
 
 
+def test_skip_stream_matches_replay_and_is_gather_free():
+    """Constant-time resume: skip_stream(n) must (a) reproduce exactly the
+    stream a step-by-step replay would produce, across epoch boundaries and
+    shuffled epochs, and (b) cost ZERO gathers for the skipped batches."""
+    x = np.arange(56 * 3, dtype=np.float32).reshape(56, 3)
+
+    def stream(ds, n):
+        out = []
+        while len(out) < n:
+            for b in ds:
+                out.append(b["features"])
+                if len(out) == n:
+                    break
+        return out
+
+    # cardinality = 7 batches/epoch; skip points cover in-epoch, epoch
+    # boundary, and multi-epoch cases
+    for skip in [0, 3, 7, 8, 20, 23]:
+        ref = stream(ArrayDataset({"features": x}, 8, shuffle=True, seed=5), 26)
+        ds = ArrayDataset({"features": x}, 8, shuffle=True, seed=5)
+        ds.skip_stream(skip)
+        got = stream(ds, 26 - skip)
+        for i, g in enumerate(got):
+            np.testing.assert_array_equal(g, ref[skip + i], err_msg=str(skip))
+
+    # Gather count: skipping 100 epochs + 3 batches must gather nothing
+    # until the next draw, which gathers exactly once.
+    ds = ArrayDataset({"features": x}, 8, shuffle=True, seed=5)
+    calls = []
+    orig = ds._gather
+    ds._gather = lambda sel: (calls.append(1), orig(sel))[1]
+    ds.skip_stream(100 * 7 + 3)
+    assert calls == []
+    it = iter(ds)
+    next(it)
+    assert len(calls) == 1
+
+
+def test_spec_batch_does_not_touch_shuffle_rng():
+    x = np.random.RandomState(0).randn(32, 4).astype(np.float32)
+    a = ArrayDataset({"features": x}, 8, shuffle=True, seed=11)
+    b = ArrayDataset({"features": x}, 8, shuffle=True, seed=11)
+    _ = a.spec_batch()
+    np.testing.assert_array_equal(
+        next(iter(a))["features"], next(iter(b))["features"]
+    )
+
+
+def test_resume_matches_straight_run_shuffled(tmp_path):
+    """The trainer's constant-time fast-forward path (shuffle=True exercises
+    the RNG-equivalence of skip_stream through Trainer.fit)."""
+    x = np.random.RandomState(1).randn(64, 4).astype(np.float32)
+    model = Tiny()
+
+    def loss_fn(params, state, key, step, batch, is_training):
+        pred = model.apply({"params": params}, batch["features"])
+        loss = jnp.mean((pred - batch["features"]) ** 2)
+        return loss, {}, state
+
+    def init_fn(key, batch):
+        return model.init(key, batch["features"])["params"], {}
+
+    def make():
+        ds = ArrayDataset({"features": x}, batch_size=16, shuffle=True, seed=3)
+        return ds, Trainer(loss_fn, init_fn, optax.adam(1e-2), seed=7)
+
+    ds, t_full = make()
+    ts_full = t_full.fit(ds, steps=17, validation_freq=100)
+
+    ds2, t_a = make()
+    ts_a = t_a.fit(ds2, steps=9, validation_freq=100)
+    path = str(tmp_path / "ckpt.pkl")
+    save_train_state(path, ts_a)
+
+    restored = load_train_state(path)
+    ds3, t_b = make()
+    ts_b = t_b.fit(ds3, steps=17, validation_freq=100, resume_from=restored)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        jax.device_get(ts_full.params),
+        jax.device_get(ts_b.params),
+    )
+
+
 def test_resume_matches_straight_run(tmp_path):
     make = _setup()
 
