@@ -46,17 +46,21 @@ def _vq_kernel(z_ref, cb_ref, cb_norm_ref, idx_ref):
 
 
 def nearest_codebook_indices_pallas(
-    z: jnp.ndarray, codebook: jnp.ndarray, tile_n: int = 1024
+    z: jnp.ndarray,
+    codebook: jnp.ndarray,
+    tile_n: int = 1024,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Tiled Pallas codebook search. Falls back to XLA for shapes that do not
-    tile cleanly."""
+    tile cleanly. ``interpret=True`` runs the kernel through the Pallas
+    interpreter (CPU exact-match tests)."""
     n, d = z.shape
     k = codebook.shape[0]
     if n % tile_n != 0:
         # pad N up to a tile boundary; cheap and keeps the kernel simple
         pad = (-n) % tile_n
         z_p = jnp.pad(z, ((0, pad), (0, 0)))
-        out = nearest_codebook_indices_pallas(z_p, codebook, tile_n)
+        out = nearest_codebook_indices_pallas(z_p, codebook, tile_n, interpret)
         return out[:n]
 
     cb_norm = jnp.sum(codebook * codebook, axis=-1)[None, :]  # [1, K]
@@ -71,6 +75,7 @@ def nearest_codebook_indices_pallas(
             pl.BlockSpec((1, k), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((tile_n,), lambda i: (i,)),
+        interpret=interpret,
     )(z, codebook, cb_norm)
 
 

@@ -30,6 +30,7 @@ import optax
 from posterior_matching_tpu.parallel.mesh import (
     batch_sharding,
     create_mesh,
+    put_with_sharding,
     replicated_sharding,
 )
 from posterior_matching_tpu.train.state import TrainState
@@ -330,7 +331,9 @@ class Trainer:
         opt_state = self._tx.init(params)
         ema_params = params if self._ema_rate is not None else None
 
-        put = lambda t: jax.device_put(t, self._replicated)
+        # put_with_sharding, not device_put: correct on one host AND across
+        # processes (each host holds the identical replicated value).
+        put = lambda t: put_with_sharding(t, self._replicated)
         return TrainState(
             params=put(params),
             state=put(state),
@@ -416,7 +419,7 @@ class Trainer:
 
         if resume_from is not None:
             ts = self.init(self._shard(first))  # builds tx for this config
-            put = lambda t: jax.device_put(t, self._replicated)
+            put = lambda t: put_with_sharding(t, self._replicated)
             ts = TrainState(
                 params=put(resume_from.params),
                 state=put(resume_from.state),
@@ -433,8 +436,6 @@ class Trainer:
                 self._shard(first), initial_params, initial_state
             )
         if device_resident:
-            from posterior_matching_tpu.parallel.mesh import put_with_sharding
-
             data_dev = put_with_sharding(
                 train_dataset.data, self._replicated
             )
@@ -453,7 +454,7 @@ class Trainer:
         tail_step = None  # per-step jit for a final chunk smaller than spc
         self._val_step = self._make_val_step()
 
-        base_key = jax.device_put(
+        base_key = put_with_sharding(
             jax.random.PRNGKey(self._seed + 1), self._replicated
         )
         val_key = jax.random.PRNGKey(self._seed + 2)

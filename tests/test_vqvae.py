@@ -11,6 +11,7 @@ from posterior_matching_tpu.models.vqvae import (
     VectorQuantizer,
 )
 from posterior_matching_tpu.ops.vq import (
+    nearest_codebook_indices_pallas,
     nearest_codebook_indices_xla,
     vq_straight_through,
 )
@@ -23,6 +24,41 @@ def test_nearest_codebook_exact():
     got = np.asarray(nearest_codebook_indices_xla(jnp.asarray(z), jnp.asarray(cb)))
     want = np.argmin(((z[:, None] - cb[None]) ** 2).sum(-1), axis=-1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_nearest_codebook_pallas_matches_xla():
+    """Exact-match of the Pallas kernel (interpret mode on CPU) against the
+    XLA path at the flagship shapes (PM-VQVAE CelebA: N=8192 positions,
+    K=512 codes, D=64), plus a ragged-N case through the padding path and a
+    tie case (both must break towards the lower index)."""
+    rng = np.random.RandomState(1)
+    for n, k, d in [(8192, 512, 64), (2048 + 17, 512, 64), (1024, 128, 8)]:
+        z = rng.randn(n, d).astype(np.float32)
+        cb = rng.randn(k, d).astype(np.float32)
+        got = np.asarray(
+            nearest_codebook_indices_pallas(
+                jnp.asarray(z), jnp.asarray(cb), interpret=True
+            )
+        )
+        want = np.asarray(
+            nearest_codebook_indices_xla(jnp.asarray(z), jnp.asarray(cb))
+        )
+        np.testing.assert_array_equal(got, want, err_msg=str((n, k, d)))
+
+    # exact tie between codes 3 and 7 -> both paths pick 3
+    cb = rng.randn(128, 8).astype(np.float32)
+    cb[7] = cb[3]
+    z = np.tile(cb[3][None], (1024, 1)).astype(np.float32)
+    got = np.asarray(
+        nearest_codebook_indices_pallas(
+            jnp.asarray(z), jnp.asarray(cb), interpret=True
+        )
+    )
+    want = np.asarray(
+        nearest_codebook_indices_xla(jnp.asarray(z), jnp.asarray(cb))
+    )
+    np.testing.assert_array_equal(got, want)
+    assert np.all(got == 3)
 
 
 def test_straight_through_gradient():
