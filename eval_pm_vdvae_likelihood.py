@@ -56,6 +56,14 @@ flags.DEFINE_integer(
     help="The number of importance samples per instance.",
 )
 flags.DEFINE_integer(
+    "batch_chunk", default=125,
+    help="Per-device compute sub-batch. Bounds the decoder's per-block TriL "
+    "working set ([chunk, res, res, k, k] intermediates) so the reference's "
+    "625-per-device eval batch fits a single v5e chip; instances stream "
+    "through the same jitted step chunk by chunk. Set >= batch_size to "
+    "disable.",
+)
+flags.DEFINE_integer(
     "num_trials", default=5,
     help="The number of trials to compute means and std. over.",
 )
@@ -98,15 +106,24 @@ def main(_):
     key = jax.random.PRNGKey(91)
     total = dataset.cardinality()
 
+    # Memory-bounding sub-batches: each host batch is split into
+    # chunk_rows-sized slices (equal share per device) before sharding, so
+    # one jitted step never materializes more than batch_chunk instances'
+    # TriL chains per device. batch_size stays the reference's CLI contract.
+    chunk_rows = max(flags.FLAGS.batch_chunk, 1) * num_devices
+
     x_lls, xo_lls = [], []
     for trial in range(flags.FLAGS.num_trials):
         x_lls.append([])
         xo_lls.append([])
         for batch in tqdm(dataset, total=total, desc=f"Trial {trial + 1}"):
-            key, k = jax.random.split(key)
-            px, pxu = eval_step(k, shard_batch(batch, mesh))
-            x_lls[-1].append(np.asarray(px))
-            xo_lls[-1].append(np.asarray(px) - np.asarray(pxu))
+            n = len(next(iter(batch.values())))
+            for s in range(0, n, chunk_rows):
+                sub = {k2: v[s : s + chunk_rows] for k2, v in batch.items()}
+                key, k = jax.random.split(key)
+                px, pxu = eval_step(k, shard_batch(sub, mesh))
+                x_lls[-1].append(np.asarray(px))
+                xo_lls[-1].append(np.asarray(px) - np.asarray(pxu))
         x_lls[-1] = np.concatenate(x_lls[-1], axis=0)
         xo_lls[-1] = np.concatenate(xo_lls[-1], axis=0)
 

@@ -686,17 +686,9 @@ class PosteriorMatchingVDVAE(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def vdvae_is_log_probs(
-    model: PosteriorMatchingVDVAE,
-    variables,
-    x: jnp.ndarray,
-    b: jnp.ndarray,
-    key: jax.Array,
-    num_samples: int = 100,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Importance-sampled log p(x) and log p(x_u|x_o) (reference
-    is_log_probs, vdvae.py:96-146). Encoders run ONCE; the decoder chain is
-    scanned ``num_samples`` times."""
+def _is_log_probs_full(model, variables, x, b, key, num_samples):
+    """One unchunked IS pass: encoders ONCE, decoder chain scanned
+    ``num_samples`` times."""
     acts, masked_acts = model.apply(
         variables, x, b, method=model.encode_pair
     )
@@ -714,6 +706,48 @@ def vdvae_is_log_probs(
     px = logmeanexp(px, axis=0)
     pxo = logmeanexp(pxo, axis=0)
     return px, px - pxo
+
+
+def vdvae_is_log_probs(
+    model: PosteriorMatchingVDVAE,
+    variables,
+    x: jnp.ndarray,
+    b: jnp.ndarray,
+    key: jax.Array,
+    num_samples: int = 100,
+    batch_chunk: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Importance-sampled log p(x) and log p(x_u|x_o) (reference
+    is_log_probs, vdvae.py:96-146).
+
+    ``batch_chunk`` bounds peak memory: the batch is processed in
+    ``lax.map``-sequenced chunks of that many instances, so the reference's
+    625-per-core eval batch (reference eval_pm_vdvae_likelihood.py:43-46)
+    fits on a single chip — the per-block TriL chains materialize
+    ``[chunk, res, res, k, k]`` intermediates instead of the full batch's.
+    Chunking re-splits the PRNG key (one subkey per chunk), so estimates
+    match the unchunked path in distribution; they are bitwise equal only
+    when ``batch_chunk >= B``.
+    """
+    n = x.shape[0]
+    if batch_chunk is None or n <= batch_chunk:
+        return _is_log_probs_full(model, variables, x, b, key, num_samples)
+
+    pad = (-n) % batch_chunk
+    if pad:
+        x = jnp.concatenate([x, x[:pad]], axis=0)
+        b = jnp.concatenate([b, b[:pad]], axis=0)
+    chunks = x.shape[0] // batch_chunk
+    xs = x.reshape(chunks, batch_chunk, *x.shape[1:])
+    bs = b.reshape(chunks, batch_chunk, *b.shape[1:])
+    keys = jax.random.split(key, chunks)
+
+    def one(args):
+        xc, bc, kc = args
+        return _is_log_probs_full(model, variables, xc, bc, kc, num_samples)
+
+    px, ac = jax.lax.map(one, (xs, bs, keys))
+    return px.reshape(-1)[:n], ac.reshape(-1)[:n]
 
 
 def vdvae_impute(
