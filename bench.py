@@ -288,12 +288,15 @@ def main():
     # Best-expected variant first: if later variants die, the primary number
     # is already in hand. Partial results land in BENCH_PARTIAL.json after
     # every variant so even a parent crash leaves an inspectable record.
+    # fused_f32 is intentionally absent: it adds no information over
+    # chunked_f32 + fused_bf16, and its compile measured pathologically slow
+    # through the remote-compile tunnel (>25 min on 2026-08-17), putting the
+    # whole capture at risk.
     plan = [
         "chunked_bf16",
         "host_baseline",
         "fused_bf16",
         "chunked_f32",
-        "fused_f32",
     ]
     results = {}
     partial_path = os.path.join(

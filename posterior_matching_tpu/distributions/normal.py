@@ -17,6 +17,7 @@ from posterior_matching_tpu.distributions._math import (
     HALF_LOG_2PI,
     LOG_2PI,
     LOG_2PIE,
+    kl_diag_tril,
     sum_rightmost,
     tril_inverse_scaled,
     tril_matsolve,
@@ -168,22 +169,21 @@ def _kl_diag_tril(
     """KL(diag MVN || TriL MVN), the VDVAE pm_kl (reference vdvae.py:569).
 
     0.5 * (tr(Sq^-1 Sp) + (mq-mp)^T Sq^-1 (mq-mp) - k + logdet Sq - logdet Sp)
-    with Sq = L L^T computed via triangular solves.
+    with Sq = L L^T. Delegates to the fully-fused custom-VJP kernel
+    (``_math.kl_diag_tril``): ONE stacked [D | d] substitution solve forward,
+    one transpose-solve + masked outer product backward.
     """
     k = p.event_size
-    lq = jnp.broadcast_to(q.scale_tril, p.loc.shape + (k,))
-    # tr(Sq^-1 Sp) = || L^-1 diag(sp) ||_F^2 — one multi-RHS unrolled solve
-    # (XLA's batched TriangularSolve costs ~17 ms per VDVAE block here;
-    # see distributions/_math.py)
-    n = tril_inverse_scaled(lq, p.scale_diag)
-    trace = jnp.sum(n * n, axis=(-2, -1))
-    diff = q.loc - p.loc
-    maha = jnp.sum(tril_solve(lq, diff) ** 2, axis=-1)
-    log_det_q = jnp.sum(
-        jnp.log(jnp.diagonal(q.scale_tril, axis1=-2, axis2=-1)), axis=-1
+    batch = jnp.broadcast_shapes(
+        p.loc.shape[:-1], p.scale_diag.shape[:-1],
+        q.loc.shape[:-1], q.scale_tril.shape[:-2],
     )
-    log_det_p = jnp.sum(jnp.log(p.scale_diag), axis=-1)
-    return 0.5 * (trace + maha - k) + log_det_q - log_det_p
+    return kl_diag_tril(
+        jnp.broadcast_to(p.loc, batch + (k,)),
+        jnp.broadcast_to(p.scale_diag, batch + (k,)),
+        jnp.broadcast_to(q.loc, batch + (k,)),
+        jnp.broadcast_to(q.scale_tril, batch + (k, k)),
+    )
 
 
 def _kl_tril_diag(

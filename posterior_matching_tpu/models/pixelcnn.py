@@ -57,6 +57,21 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+class _DenseParams(nn.Module):
+    """Bare kernel+bias params laid out exactly like ``nn.Dense``'s (param
+    names ``kernel``/``bias`` directly under this module's scope) for the
+    fused gated block."""
+
+    kshape: Tuple[int, int]
+    kernel_init: Any
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.kernel_init, self.kshape)
+        bias = self.param("bias", nn.initializers.zeros, (self.kshape[-1],))
+        return kernel, bias
+
+
 class _MaskedConv(nn.Module):
     """Causality-masked conv.
 
@@ -78,9 +93,20 @@ class _MaskedConv(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_weights: bool = False):
+        """``return_weights=True`` creates/returns the identical ``Conv_0``
+        params (kernel, bias) without convolving — the fused Pallas gated
+        block consumes them directly while keeping the checkpoint ABI."""
         kh, kw = self.kernel_size
         (r0, r1), (c0, c1) = self.valid_rows, self.valid_cols
+        if return_weights:
+            if self.strides != (1, 1) or kh % 2 == 0 or kw % 2 == 0:
+                raise ValueError(
+                    "return_weights is only for the stride-1 odd-kernel path"
+                )
+            return _ConvParams(
+                (kh, kw, x.shape[-1], self.features), name="Conv_0"
+            )()
         if self.strides != (1, 1) or kh % 2 == 0 or kw % 2 == 0:
             mask = jnp.broadcast_to(
                 jnp.asarray(
@@ -177,10 +203,29 @@ class PixelCNN(nn.Module):
     # "bfloat16" to run the masked convs on the MXU at bf16 throughput.
     # Logits/log_softmax are always evaluated in float32.
     dtype: Optional[str] = None
+    # Fused Pallas gated blocks (ops/gated_block.py): None = auto (on TPU),
+    # True/False = force, "interpret" = Pallas interpreter (CPU tests).
+    # Checkpoints are identical either way.
+    fused: Optional[Any] = None
 
     @property
     def _cdtype(self):
         return jnp.dtype(self.dtype) if self.dtype is not None else None
+
+    def _use_fused(self, kernel_size, constraint) -> bool:
+        """Whether to run this block through the fused Pallas kernel."""
+        mode = self.fused
+        if mode is None:
+            mode = jax.default_backend() == "tpu"
+        if not mode:
+            return False
+        from posterior_matching_tpu.ops.gated_block import plan_taps
+
+        try:
+            plan_taps(kernel_size, *constraint)
+        except ValueError:
+            return False
+        return True
 
     def _gated_residual(
         self, tag, input_x, aux, cond, kernel_size, constraint, training
@@ -188,8 +233,74 @@ class PixelCNN(nn.Module):
         """One gated resnet block: conv -> (+aux cue) -> conv(2F) ->
         (+cond projection) -> sigmoid gate -> residual. All submodules are
         explicitly named (linen auto-numbering would shift when the optional
-        branches are skipped)."""
+        branches are skipped).
+
+        On TPU (or ``fused=True``/``"interpret"``) the whole block runs as
+        one Pallas kernel per direction (ops/gated_block.py) over the SAME
+        ``Conv_0``/Dense params — checkpoints are interchangeable between
+        the fused and unfused paths.
+        """
         f = self.num_filters
+
+        if self._use_fused(kernel_size, constraint):
+            from posterior_matching_tpu.ops.gated_block import (
+                fused_gated_block,
+            )
+
+            # Create the SAME params the unfused modules would (identical
+            # names, shapes, inits) and consume them directly.
+            ce_x = concat_elu(input_x)  # channel-count feed for param shapes
+            wa, ba = _MaskedConv(
+                f, kernel_size, *constraint, dtype=self._cdtype,
+                name=f"{tag}_conv_a",
+            )(ce_x, return_weights=True)
+            wb, bb = _MaskedConv(
+                2 * f, kernel_size, *constraint, dtype=self._cdtype,
+                name=f"{tag}_conv_b",
+            )(ce_x, return_weights=True)
+            waux, ba_eff = None, ba
+            if aux is not None:
+                # aux may carry F (up pass) or 2F (down pass: vertical+skip
+                # concat) channels; the dense sees concat_elu(aux) = 2*AC.
+                waux, baux = _DenseParams(
+                    (2 * aux.shape[-1], f), _trunc_normal_fan_in,
+                    name=f"{tag}_aux",
+                )()
+                # The aux Dense bias folds into conv-a's: a1+ba + ce@W+baux
+                # == a1 + (ba+baux) + ce@W; autodiff routes the shared
+                # cotangent back to both.
+                ba_eff = ba + baux
+
+            cond_vec = None
+            if cond is not None:
+                cond_vec = nn.Dense(
+                    2 * f, kernel_init=nn.initializers.normal(1.0),
+                    dtype=self._cdtype, name=f"{tag}_cond_proj",
+                )(cond.reshape((cond.shape[0], -1)))
+
+            if training and self.dropout > 0.0:
+                keep = 1.0 - self.dropout
+                mask = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep,
+                    (*input_x.shape[:-1], 2 * f),
+                ).astype(input_x.dtype)
+            else:
+                keep = 1.0
+                mask = jnp.ones((*input_x.shape[:-1], 2 * f), input_x.dtype)
+
+            # Slice kernels to the valid region (bit-equivalent to the
+            # masked conv, see _MaskedConv).
+            (r0, r1), (c0, c1) = constraint
+            return fused_gated_block(
+                input_x, aux, cond_vec, mask,
+                wa[r0:r1, c0:c1], ba_eff, waux, wb[r0:r1, c0:c1], bb,
+                kernel_size=kernel_size,
+                valid_rows=(r0, r1), valid_cols=(c0, c1),
+                keep_prob=keep,
+                compute_dtype=self._cdtype or jnp.float32,
+                interpret=(self.fused == "interpret"),
+            )
+
         x = concat_elu(input_x)
         x = _MaskedConv(
             f, kernel_size, *constraint, dtype=self._cdtype,

@@ -176,3 +176,57 @@ def test_sliced_kernel_gradients_match_masked():
             gf["params"]["Conv_0"][name], gr["params"][name],
             rtol=1e-5, atol=1e-6,
         )
+
+
+def test_fused_network_matches_unfused():
+    """The full PixelCNN with fused Pallas gated blocks (interpret mode)
+    must produce the same params tree AND the same logits as the unfused
+    path — checkpoints are interchangeable."""
+    kwargs = dict(
+        num_indices=8,
+        image_shape=(8, 8),
+        dropout=0.5,
+        num_resnet=2,
+        num_hierarchies=1,
+        num_filters=16,
+    )
+    plain = PixelCNN(**kwargs)
+    fused = PixelCNN(fused="interpret", **kwargs)
+
+    x = jnp.asarray(
+        np.random.RandomState(0).randint(0, 8, (2, 8, 8)), jnp.int32
+    )
+    cond = jnp.asarray(np.random.RandomState(1).randn(2, 6), jnp.float32)
+
+    v_plain = plain.init(jax.random.PRNGKey(0), x, cond)
+    v_fused = fused.init(jax.random.PRNGKey(0), x, cond)
+
+    # identical param trees (paths, shapes, values)
+    flat_p = jax.tree_util.tree_flatten_with_path(v_plain)[0]
+    flat_f = jax.tree_util.tree_flatten_with_path(v_fused)[0]
+    assert [p for p, _ in flat_p] == [p for p, _ in flat_f]
+    for (path, a), (_, b) in zip(flat_p, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), err_msg=str(path)
+        )
+
+    # same logits with EITHER variables in eval mode (no dropout)
+    l_plain = plain.apply(v_plain, x, cond, training=False)
+    l_fused = fused.apply(v_plain, x, cond, training=False)
+    np.testing.assert_allclose(
+        np.asarray(l_fused), np.asarray(l_plain), rtol=1e-4, atol=1e-4
+    )
+
+    # training mode: gradients flow through every param on the fused path
+    def loss(params, impl):
+        out = impl.apply(
+            {"params": params}, x, cond, training=True,
+            rngs={"dropout": jax.random.PRNGKey(7)},
+        )
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss)(v_plain["params"], fused)
+    leaves = jax.tree_util.tree_flatten_with_path(g)[0]
+    zero = [jax.tree_util.keystr(p) for p, l in leaves
+            if float(np.abs(np.asarray(l)).max()) == 0.0]
+    assert not zero, f"dead gradients through fused path: {zero}"
