@@ -357,6 +357,23 @@ def _kl(p, q):
         )
         logdet_p = jnp.sum(jnp.log(s), axis=-1)
         return 0.5 * (trace + maha - k) + logdet_q - logdet_p
+    if isinstance(p, MultivariateNormalTriL) and isinstance(
+        q, MultivariateNormalDiag
+    ):
+        # KL(N(m1, L L^T) || N(m2, diag(s)^2)) =
+        #   0.5*(sum_ij (L_ij / s_i)^2 + ||(m1-m2)/s||^2 - k)
+        #   + sum log s - sum log diag(L)
+        k = p.loc.shape[-1]
+        inv_s = 1.0 / q.scale_diag
+        trace = jnp.sum(
+            (p.scale_tril * inv_s[..., :, None]) ** 2, axis=(-2, -1)
+        )
+        maha = jnp.sum(((p.loc - q.loc) * inv_s) ** 2, axis=-1)
+        logdet_q = jnp.sum(jnp.log(q.scale_diag), axis=-1) + 0.0 * maha
+        logdet_p = jnp.sum(
+            jnp.log(jnp.diagonal(p.scale_tril, axis1=-2, axis2=-1)), axis=-1
+        )
+        return 0.5 * (trace + maha - k) + logdet_q - logdet_p
     raise NotImplementedError(
         f"shim KL not registered for {type(p).__name__} || {type(q).__name__}"
     )
