@@ -185,3 +185,136 @@ def test_pm_vae_tril_posterior_matches_reference():
             np.asarray(ours[k]), np.asarray(ref_out[k]),
             rtol=1e-4, atol=1e-4, err_msg=k,
         )
+
+
+# ---------------------------------------------------------------------------
+# Full PixelCNN network forward at identical params
+# ---------------------------------------------------------------------------
+
+
+def _my_pixelcnn_param_order(num_resnet, num_hierarchies, has_cond):
+    """The (kind, flax-path) sequence in OUR network's creation order —
+    mirrors PixelCNN.__call__ exactly (models/pixelcnn.py)."""
+    order = [("embed", ("embed",))]
+    for n in ("v_init", "h_init_up", "h_init_left"):
+        order.append(("conv", (n, "Conv_0")))
+
+    def gated(tag, stack, down):
+        out = [("conv", (f"{tag}_conv_a", "Conv_0"))]
+        if down or stack == "horizontal":
+            out.append(("dense", (f"{tag}_aux",)))
+        out.append(("conv", (f"{tag}_conv_b", "Conv_0")))
+        if has_cond:
+            out.append(("dense", (f"{tag}_cond_proj",)))
+        return out
+
+    for i in range(num_hierarchies):
+        for r in range(num_resnet):
+            for stack in ("vertical", "horizontal"):
+                order += gated(f"up_{i}_{r}_{stack}", stack, down=False)
+        if i < num_hierarchies - 1:
+            for stack in ("vertical", "horizontal"):
+                order.append(("conv", (f"down_sample_{i}_{stack}", "Conv_0")))
+    for i in range(num_hierarchies):
+        n_res = num_resnet if i == 0 else num_resnet + 1
+        for r in range(n_res):
+            for stack in ("vertical", "horizontal"):
+                order += gated(f"dn_{i}_{r}_{stack}", stack, down=True)
+        if i < num_hierarchies - 1:
+            for stack in ("vertical", "horizontal"):
+                order.append(
+                    ("convT", (f"up_sample_{i}_{stack}", "ConvTranspose_0"))
+                )
+    order.append(("conv", ("logits_conv",)))
+    return order
+
+
+def _map_pixelcnn_params(ref_params, order):
+    """Zip reference haiku modules (insertion order == creation order) onto
+    our ordered module list; returns the flax params dict."""
+    out = {}
+
+    def put(path, leaf, value):
+        node = out
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node.setdefault(path[-1], {})[leaf] = value
+
+    ref_items = list(ref_params.items())
+    assert len(ref_items) == len(order), (len(ref_items), len(order))
+    for (ref_name, leaves), (kind, path) in zip(ref_items, order):
+        if kind == "embed":
+            assert "embed" in ref_name, (ref_name, path)
+            put(path, "embedding", np.asarray(leaves["embeddings"]))
+        elif kind == "dense":
+            assert "linear" in ref_name, (ref_name, path)
+            put(path, "kernel", np.asarray(leaves["w"]))
+            put(path, "bias", np.asarray(leaves["b"]))
+        elif kind == "conv":
+            assert "conv2_d" in ref_name and "transpose" not in ref_name, (
+                ref_name, path,
+            )
+            put(path, "kernel", np.asarray(leaves["w"]))
+            put(path, "bias", np.asarray(leaves["b"]))
+        elif kind == "convT":
+            assert "transpose" in ref_name, (ref_name, path)
+            # hk transpose kernels are (kh, kw, O, I); flax wants HWIO
+            put(path, "kernel", np.asarray(leaves["w"]).transpose(0, 1, 3, 2))
+            put(path, "bias", np.asarray(leaves["b"]))
+    # fix paths: leaves for modules without Conv_0 suffix were nested one
+    # level deep ({name: {leaf: v}}) which matches flax for direct modules.
+    return out
+
+
+@pytest.mark.parametrize(
+    "num_resnet,num_hierarchies", [(2, 1), (1, 2)]
+)
+def test_pixelcnn_network_matches_reference(num_resnet, num_hierarchies):
+    """The ENTIRE conditional PixelCNN network — embedding, masked stacks,
+    gated blocks, (for hierarchies=2) down/up-sampling convs, logits head —
+    produces the same logits as the reference's _PixelCNNNetwork at
+    identical parameters (mapped by creation order)."""
+    import importlib
+
+    import haiku as hk
+
+    ref_pcnn = importlib.import_module("posterior_matching.models.pixel_cnn")
+    from posterior_matching_tpu.models.pixelcnn import PixelCNN
+
+    ni, nf = 8, 16
+    hdim = 8
+    x = jnp.asarray(
+        np.random.RandomState(0).randint(0, ni, (2, hdim, hdim)), jnp.int32
+    )
+    cond = jnp.asarray(np.random.RandomState(1).randn(2, 6), jnp.float32)
+
+    def ref_fwd(idx, c):
+        net = ref_pcnn._PixelCNNNetwork(
+            num_indices=ni,
+            dropout=0.5,
+            num_resnet=num_resnet,
+            num_hierarchies=num_hierarchies,
+            num_filters=nf,
+            receptive_field_dims=(3, 3),
+        )
+        return net(idx, c, training=False).logits
+
+    t = hk.transform(ref_fwd)
+    ref_params = t.init(jax.random.PRNGKey(0), x, cond)
+    ref_logits = t.apply(ref_params, jax.random.PRNGKey(9), x, cond)
+
+    order = _my_pixelcnn_param_order(num_resnet, num_hierarchies, True)
+    mapped = _map_pixelcnn_params(ref_params, order)
+
+    model = PixelCNN(
+        num_indices=ni,
+        image_shape=(hdim, hdim),
+        dropout=0.5,
+        num_resnet=num_resnet,
+        num_hierarchies=num_hierarchies,
+        num_filters=nf,
+    )
+    logits = model.apply({"params": mapped}, x, cond, training=False)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
