@@ -214,9 +214,18 @@ class PixelCNN(nn.Module):
 
     def _use_fused(self, kernel_size, constraint) -> bool:
         """Whether to run this block through the fused Pallas kernel."""
+        import os
+
         mode = self.fused
         if mode is None:
-            mode = jax.default_backend() == "tpu"
+            # Auto mode is currently OPT-IN via env (PM_TPU_FUSED_PIXELCNN=1)
+            # while the kernel's on-device behavior is being validated — a
+            # mis-compiling Pallas kernel must not be able to take down
+            # every TPU run by default.
+            mode = (
+                jax.default_backend() == "tpu"
+                and os.environ.get("PM_TPU_FUSED_PIXELCNN") == "1"
+            )
         if not mode:
             return False
         from posterior_matching_tpu.ops.gated_block import plan_taps
