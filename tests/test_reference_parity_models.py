@@ -318,3 +318,107 @@ def test_pixelcnn_network_matches_reference(num_resnet, num_hierarchies):
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# VDVAE decoder block: kl and pm_kl at identical params
+# ---------------------------------------------------------------------------
+
+
+def test_vdvae_decoder_block_kls_match_reference():
+    """The per-block posterior/prior KL and the posterior-matching
+    KL(stop_grad(diag) || TriL) — the pm_kl training signal (reference
+    vdvae.py:532-571) — computed by the actual reference block at identical
+    parameters. The masked-posterior head's TriL slots are permuted between
+    tfp's packing and ours (same freedom as the VAE TriL head)."""
+    import importlib
+
+    import haiku as hk
+
+    ref_vdvae = importlib.import_module("posterior_matching.models.vdvae")
+    from posterior_matching_tpu.distributions._math import fill_scale_tril
+    from posterior_matching_tpu.distributions.normal import (
+        MultivariateNormalDiag,
+        MultivariateNormalTriL,
+    )
+    from posterior_matching_tpu.models.vdvae import DecoderBlock
+
+    latent, res, width = 3, 4, 8
+    batch = 2
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, res, res, width), jnp.float32)
+    acts = jnp.asarray(rng.randn(batch, res, res, width), jnp.float32)
+    macts = jnp.asarray(rng.randn(batch, res, res, width), jnp.float32)
+
+    def ref_fwd(x, acts, macts):
+        blk = ref_vdvae.PosteriorMatchingDecoderBlock(
+            latent, res, None, 4, width, 1.0
+        )
+        z, x_out, kl, pm_kl = blk.sample_posterior(x, acts, macts)
+        return kl, pm_kl
+
+    t = hk.transform(ref_fwd)
+    ref_params = t.init(jax.random.PRNGKey(0), x, acts, macts)
+    ref_kl, ref_pm_kl = t.apply(
+        ref_params, jax.random.PRNGKey(9), x, acts, macts
+    )
+    # reference KLs come out of Independent wrappers (event soaks up one
+    # batch axis) -> reduce every non-batch axis on both sides
+    total = lambda v: np.asarray(jnp.sum(v, axis=tuple(range(1, v.ndim))))
+    ref_kl = total(ref_kl)
+    ref_pm_kl = total(ref_pm_kl)
+
+    # ---- map params by creation order ----
+    # sample_posterior creates exactly the three Blocks' convs (z_proj and
+    # the resnet only run in _finish, outside this probe): 3 x 4 convs.
+    my_paths = []
+    for blk_name in ("posterior", "masked_posterior", "prior"):
+        my_paths += [(blk_name, f"c{i}") for i in (1, 2, 3, 4)]
+
+    mapped = {}
+    ref_items = list(ref_params.items())
+    assert len(ref_items) == len(my_paths), (len(ref_items), len(my_paths))
+    for (ref_name, leaves), path in zip(ref_items, my_paths):
+        node = mapped
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = {
+            "kernel": np.asarray(leaves["w"]),
+            "bias": np.asarray(leaves["b"]),
+        }
+
+    # permute the masked head's raw TriL output channels (tfp -> row-major)
+    perm = _tril_permutation(latent)
+    c4 = mapped["masked_posterior"]["c4"]
+    w, b = c4["kernel"].copy(), c4["bias"].copy()
+    w[..., latent:] = w[..., latent:][..., perm]
+    b[latent:] = b[latent:][perm]
+    c4["kernel"], c4["bias"] = w, b
+
+    # ---- our block ----
+    model = DecoderBlock(
+        latent_dim=latent, res=res, mixin=None, num_blocks=4,
+        width=width, bottleneck_multiple=1.0,
+    )
+    variables = {"params": mapped}
+
+    def probe(m, x, acts, macts):
+        loc, scale = m._posterior(x, acts)
+        prior, _ = m._prior(x)
+        posterior = MultivariateNormalDiag(loc=loc, scale_diag=scale)
+        kl = jnp.sum(posterior.kl_divergence(prior), axis=(1, 2))
+        raw = m.masked_posterior_block(
+            jnp.concatenate([jax.lax.stop_gradient(x), macts], axis=-1)
+        )
+        tril = fill_scale_tril(raw[..., latent:], latent)
+        masked = MultivariateNormalTriL(
+            loc=raw[..., :latent], scale_tril=tril
+        )
+        pm_kl = jnp.sum(posterior.kl_divergence(masked), axis=(1, 2))
+        return kl, pm_kl
+
+    kl, pm_kl = model.apply(variables, x, acts, macts, method=probe)
+    np.testing.assert_allclose(np.asarray(kl), ref_kl, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(pm_kl), ref_pm_kl, rtol=1e-4, atol=1e-4
+    )
