@@ -253,10 +253,18 @@ def _measure_in_subprocess(variant, tries=3, timeout_s=2400):
     (the remote-compile tunnel flakes transiently — a fresh process gets a
     fresh tunnel connection). Returns steps/sec or None."""
     for attempt in range(1, tries + 1):
+        if time.monotonic() > _DEADLINE[0]:
+            print(
+                f"# bench budget exhausted before {variant} attempt {attempt}",
+                file=sys.stderr,
+            )
+            return None
         try:
+            remaining = max(_DEADLINE[0] - time.monotonic(), 60.0)
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--variant", variant],
-                capture_output=True, text=True, timeout=timeout_s,
+                capture_output=True, text=True,
+                timeout=min(timeout_s, remaining),
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             if proc.returncode == 0:
@@ -284,7 +292,16 @@ def _measure_in_subprocess(variant, tries=3, timeout_s=2400):
     return None
 
 
+# Global wall-clock budget for the whole capture (seconds; override with
+# PM_BENCH_BUDGET). A wedged TPU backend times out per attempt; without a
+# budget, retries across variants could run for hours in a driver context.
+_DEADLINE = [0.0]
+
+
 def main():
+    _DEADLINE[0] = time.monotonic() + float(
+        os.environ.get("PM_BENCH_BUDGET", 5400)
+    )
     # Best-expected variant first: if later variants die, the primary number
     # is already in hand. Partial results land in BENCH_PARTIAL.json after
     # every variant so even a parent crash leaves an inspectable record.
