@@ -422,3 +422,58 @@ def test_vdvae_decoder_block_kls_match_reference():
     np.testing.assert_allclose(
         np.asarray(pm_kl), ref_pm_kl, rtol=1e-4, atol=1e-4
     )
+
+
+def test_vdvae_encoder_matches_reference():
+    """The full VDVAE encoder — block-string pipeline, bottleneck residual
+    blocks, avg-pool downsampling, channel padding — produces the same
+    per-resolution activation dict as the reference Encoder at identical
+    params (reference vdvae.py:287-328). Deterministic (no sampling)."""
+    import importlib
+
+    import haiku as hk
+
+    ref_vdvae = importlib.import_module("posterior_matching.models.vdvae")
+    from posterior_matching_tpu.models.vdvae import Encoder
+
+    width, blocks = 8, "8x2,8d2,4x1,4d4,1x1"
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 8, 8, 1), jnp.float32
+    )
+
+    def ref_fwd(x):
+        return ref_vdvae.Encoder(width, blocks, 1.0)(x)
+
+    t = hk.transform(ref_fwd)
+    ref_params = t.init(jax.random.PRNGKey(0), x)
+    ref_acts = t.apply(ref_params, None, x)
+
+    # creation order: in conv, then 4 convs per parsed block
+    from posterior_matching_tpu.models.vdvae import parse_layer_string
+
+    n_blocks = len(parse_layer_string(blocks))
+    my_paths = [("in_conv",)]
+    for i in range(n_blocks):
+        my_paths += [(f"block_{i}", f"c{j}") for j in (1, 2, 3, 4)]
+
+    ref_items = list(ref_params.items())
+    assert len(ref_items) == len(my_paths), (len(ref_items), len(my_paths))
+    mapped = {}
+    for (ref_name, leaves), path in zip(ref_items, my_paths):
+        node = mapped
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = {
+            "kernel": np.asarray(leaves["w"]),
+            "bias": np.asarray(leaves["b"]),
+        }
+
+    model = Encoder(width=width, blocks=blocks, bottleneck_multiple=1.0)
+    acts = model.apply({"params": mapped}, x)
+
+    assert set(acts) == set(ref_acts), (set(acts), set(ref_acts))
+    for res in ref_acts:
+        np.testing.assert_allclose(
+            np.asarray(acts[res]), np.asarray(ref_acts[res]),
+            rtol=1e-4, atol=1e-5, err_msg=f"res {res}",
+        )
