@@ -287,9 +287,10 @@ class MixtureSameFamily(Distribution):
 
     def log_prob(self, x):
         # The component axis sits immediately left of the components'
-        # event axes; expand x there (the reference's components are
-        # Independent(QuantizedLogistic, 1) over channels → axis -2).
-        ndims = getattr(self.components_distribution, "ndims", 1)
+        # event axes; expand x there. Independent components carry their
+        # event ndims; bare distributions (e.g. Normal in the 1-D GMM)
+        # have scalar events -> expand at the last axis.
+        ndims = getattr(self.components_distribution, "ndims", 0)
         x_exp = jnp.expand_dims(jnp.asarray(x), axis=-(ndims + 1))
         comp_lp = self.components_distribution.log_prob(x_exp)
         mix_lp = jax.nn.log_softmax(self.mixture_distribution.logits, axis=-1)
@@ -299,7 +300,7 @@ class MixtureSameFamily(Distribution):
         k_mix, k_comp = jax.random.split(seed)
         idx = self.mixture_distribution.sample(k_mix, sample_shape)
         comps = self.components_distribution.sample(k_comp, sample_shape)
-        ndims = getattr(self.components_distribution, "ndims", 1)
+        ndims = getattr(self.components_distribution, "ndims", 0)
         idx_exp = idx[(...,) + (None,) * (ndims + 1)]
         return jnp.take_along_axis(
             comps, jnp.broadcast_to(

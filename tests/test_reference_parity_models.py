@@ -477,3 +477,122 @@ def test_vdvae_encoder_matches_reference():
             np.asarray(acts[res]), np.asarray(ref_acts[res]),
             rtol=1e-4, atol=1e-5, err_msg=f"res {res}",
         )
+
+
+def test_conv_encoder_decoder_match_reference():
+    """Conv image backbones (reference networks.py:9-72): outputs match at
+    identical params, incl. the VALID-padding rules (last encoder layer,
+    first decoder layer) and transposed-conv semantics."""
+    import importlib
+
+    import haiku as hk
+
+    ref_nets = importlib.import_module("posterior_matching.models.networks")
+    from posterior_matching_tpu.models.networks import (
+        ConvDecoder,
+        ConvEncoder,
+    )
+
+    layers_enc = [(8, 3, 2), (16, 3, 2), (32, 7, 1)]
+    layers_dec = [(32, 7, 1), (16, 3, 2), (8, 3, 2), (1, 3, 1)]
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 28, 28, 1), jnp.float32
+    )
+    z = jnp.asarray(np.random.RandomState(1).randn(2, 32), jnp.float32)
+
+    # ---- encoder ----
+    t = hk.transform(lambda x: ref_nets.ConvEncoder(layers_enc)(x))
+    ref_params = t.init(jax.random.PRNGKey(0), x)
+    ref_out = t.apply(ref_params, None, x)
+
+    mapped = {}
+    for i, (name, leaves) in enumerate(ref_params.items()):
+        mapped[f"Conv_{i}"] = {
+            "kernel": np.asarray(leaves["w"]),
+            "bias": np.asarray(leaves["b"]),
+        }
+    out = ConvEncoder(layers_enc).apply({"params": mapped}, x)
+    assert out.shape == ref_out.shape, (out.shape, ref_out.shape)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_out), rtol=1e-5, atol=1e-5
+    )
+
+    # ---- decoder ----
+    t = hk.transform(lambda z: ref_nets.ConvDecoder(layers_dec)(z))
+    ref_params = t.init(jax.random.PRNGKey(0), z)
+    ref_out = t.apply(ref_params, None, z)
+
+    mapped = {}
+    for i, (name, leaves) in enumerate(ref_params.items()):
+        mapped[f"ConvTranspose_{i}"] = {
+            # hk transpose kernels (kh, kw, O, I) -> flax HWIO
+            "kernel": np.asarray(leaves["w"]).transpose(0, 1, 3, 2),
+            "bias": np.asarray(leaves["b"]),
+        }
+    out = ConvDecoder(layers_dec).apply({"params": mapped}, z)
+    assert out.shape == ref_out.shape, (out.shape, ref_out.shape)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_out), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_autoregressive_gmm_log_prob_matches_reference():
+    """The AutoregressiveGMM head: the reference scans D sequential
+    teacher-forced conditionals (distributions.py:152-166); ours evaluates
+    all D in one batched forward. At identical params the log-probs must be
+    equal."""
+    import importlib
+
+    import haiku as hk
+
+    ref_dists = importlib.import_module(
+        "posterior_matching.models.distributions"
+    )
+    from posterior_matching_tpu.models.heads import AutoregressiveGMMHead
+
+    event, comps, hidden, blocks = 4, 3, 16, 1
+    rng = np.random.RandomState(0)
+    ctx = jnp.asarray(rng.randn(3, 6), jnp.float32)
+    value = jnp.asarray(rng.randn(3, event), jnp.float32)
+
+    def ref_fwd(ctx, value):
+        head = ref_dists.AutoregressiveGMM(
+            event, num_components=comps,
+            residual_blocks=blocks, hidden_units=hidden,
+        )
+        return head(ctx).log_prob(value)
+
+    t = hk.transform(ref_fwd)
+    ref_params = t.init(jax.random.PRNGKey(0), ctx, value)
+    ref_lp = t.apply(ref_params, jax.random.PRNGKey(9), ctx, value)
+
+    # creation order: ResidualMLP linears (1 + 2*blocks), then the GMM head
+    # Linear -> our pure-MLP pytree {in, blocks[i].a/b, out}
+    ref_items = list(ref_params.items())
+    assert len(ref_items) == 1 + 2 * blocks + 1, [k for k, _ in ref_items]
+    leaves = [
+        {"kernel": np.asarray(v["w"]), "bias": np.asarray(v["b"])}
+        for _, v in ref_items
+    ]
+    flat = {}
+    name = "ar_net"
+    order = [("in", leaves[0])]
+    for i in range(blocks):
+        order += [
+            (f"block{i}_a", leaves[1 + 2 * i]),
+            (f"block{i}_b", leaves[2 + 2 * i]),
+        ]
+    order.append(("out", leaves[-1]))
+    for pname, wb in order:
+        flat[f"{name}_{pname}_w"] = wb["kernel"]
+        flat[f"{name}_{pname}_b"] = wb["bias"]
+
+    head = AutoregressiveGMMHead(
+        event_size=event, num_components=comps,
+        residual_blocks=blocks, hidden_units=hidden,
+    )
+    dist = head.apply({"params": flat}, ctx)
+    lp = dist.log_prob(value)
+    np.testing.assert_allclose(
+        np.asarray(lp), np.asarray(ref_lp), rtol=1e-4, atol=1e-4
+    )
