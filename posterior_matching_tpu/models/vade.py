@@ -144,14 +144,19 @@ class VADE(nn.Module):
 
         log_p_x_given_z = self.decode_log_prob(z, x)
         log_p_z_given_c = self.log_p_z_given_c(z)  # [B, K]
-        log_pi = self.log_pi()
+        # Reference QUIRK (vade.py:128-139): the prior term uses the RAW
+        # mixture logits, not log_softmax — e_log_p_c is unnormalized, which
+        # shifts the ELBO by logsumexp(logits) AND changes the gradient wrt
+        # the logits (training dynamics). Reproduce the behavior, not the
+        # intent; log_q_c_given_x is invariant to the choice.
+        logits = self.gmm_logits
 
-        unnorm = log_p_z_given_c + log_pi[None]
+        unnorm = log_p_z_given_c + logits[None]
         log_q_c_given_x = jax.nn.log_softmax(unnorm, axis=-1)
         gamma = jnp.exp(log_q_c_given_x)
 
         e_log_p_z_given_c = jnp.sum(gamma * log_p_z_given_c, axis=-1)
-        e_log_p_c = jnp.sum(gamma * log_pi[None], axis=-1)
+        e_log_p_c = jnp.sum(gamma * logits[None], axis=-1)
         e_log_q_c_given_x = jnp.sum(gamma * log_q_c_given_x, axis=-1)
         log_q_z_given_x = posterior.log_prob(z)
 

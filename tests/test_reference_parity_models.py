@@ -596,3 +596,117 @@ def test_autoregressive_gmm_log_prob_matches_reference():
     np.testing.assert_allclose(
         np.asarray(lp), np.asarray(ref_lp), rtol=1e-4, atol=1e-4
     )
+
+
+def test_vade_elbo_and_clusters_match_reference(monkeypatch):
+    """The VaDE ELBO — including the reference's unnormalized-prior quirk
+    (raw mixture logits in e_log_p_c, vade.py:128-139) — and cluster
+    responsibilities match the reference at identical params. Sampling is
+    made deterministic by patching both frameworks' MVNDiag.sample to the
+    posterior mean."""
+    import importlib
+
+    import haiku as hk
+
+    ref_vade_mod = importlib.import_module("posterior_matching.models.vade")
+    shim_d = importlib.import_module(
+        "tensorflow_probability.substrates.jax.distributions"
+    )
+    import posterior_matching_tpu.distributions.normal as my_normal
+    from posterior_matching_tpu.models.vade import VADE
+
+    # deterministic z on both sides
+    def _mean_sample(self, _key, sample_shape=()):
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        return jnp.broadcast_to(
+            self.mean(), tuple(sample_shape) + self.mean().shape
+        )
+
+    monkeypatch.setattr(
+        shim_d.MultivariateNormalDiag, "sample",
+        lambda self, seed=None, sample_shape=(): _mean_sample(
+            self, seed, sample_shape
+        ),
+    )
+    monkeypatch.setattr(
+        my_normal.MultivariateNormalDiag, "sample", _mean_sample
+    )
+
+    cfg = dict(
+        num_components=3, latent_dim=4,
+        encoder_net="ResidualMLP",
+        encoder_net_config=dict(residual_blocks=1, hidden_units=16),
+        decoder_net="ResidualMLP",
+        decoder_net_config=dict(residual_blocks=1, hidden_units=16),
+        decoder_dist="IdentityGaussian",
+        decoder_dist_config=dict(event_size=6),
+    )
+    x = jnp.asarray(np.random.RandomState(0).randn(5, 6), jnp.float32)
+
+    def ref_fwd(x):
+        m = ref_vade_mod.VADE.from_config(cfg)
+        return m.elbo(x), m.predict_cluster(x, num_samples=2)
+
+    t = hk.transform(ref_fwd)
+    ref_params = t.init(jax.random.PRNGKey(0), x)
+    # randomize the GMM prior so the quirk term is non-trivial
+    ref_params = dict(ref_params)
+    gmm = dict(ref_params["vade"])
+    rng = np.random.RandomState(7)
+    gmm["logits"] = jnp.asarray(rng.randn(3), jnp.float32)
+    gmm["mu"] = jnp.asarray(rng.randn(3, 4), jnp.float32)
+    gmm["log_scale"] = jnp.asarray(rng.randn(3, 4) * 0.3, jnp.float32)
+    ref_params["vade"] = gmm
+    ref_elbo, ref_q = t.apply(ref_params, jax.random.PRNGKey(9), x)
+
+    # ---- map params ----
+    mapped = {}
+    for mod, leaves in ref_params.items():
+        if mod == "vade":
+            for k, v in leaves.items():
+                mapped[k] = np.asarray(v)
+        elif mod == "vade/~/diagonal_gaussian/linear":
+            mapped["posterior_dist"] = {
+                "Dense_0": {
+                    "kernel": np.asarray(leaves["w"]),
+                    "bias": np.asarray(leaves["b"]),
+                }
+            }
+        else:
+            parts = mod.split("/")
+            node = mapped.setdefault(parts[0], {})
+            if len(parts) == 1:
+                for k, v in leaves.items():
+                    if k in ("w", "b"):
+                        node.setdefault("Dense_0", {})[
+                            "kernel" if k == "w" else "bias"
+                        ] = np.asarray(v)
+                    else:
+                        node[k] = np.asarray(v)
+            else:
+                idx = 0 if parts[1] == "linear" else int(
+                    parts[1].split("_")[1]
+                )
+                node.setdefault(f"Dense_{idx}", {})
+                for k, v in leaves.items():
+                    node[f"Dense_{idx}"][
+                        "kernel" if k == "w" else "bias"
+                    ] = np.asarray(v)
+
+    model = VADE.from_config(cfg)
+    variables = {"params": mapped}
+    elbo = model.apply(
+        variables, x, method=model.elbo,
+        rngs={"sample": jax.random.PRNGKey(1)},
+    )
+    q = model.apply(
+        variables, x, method=model.predict_cluster,
+        rngs={"sample": jax.random.PRNGKey(1)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(elbo), np.asarray(ref_elbo), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(q), np.asarray(ref_q), rtol=1e-4, atol=1e-4
+    )
