@@ -710,3 +710,70 @@ def test_vade_elbo_and_clusters_match_reference(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(q), np.asarray(ref_q), rtol=1e-4, atol=1e-4
     )
+
+
+def test_lookahead_info_gains_match_reference():
+    """Lookahead expected_info_gains (reference lookahead.py:204-227):
+    deterministic entropy-difference estimator at identical params, incl.
+    the -inf masking of already-observed features and the full-encoder
+    current-entropy choice."""
+    import importlib
+
+    import haiku as hk
+
+    ref_la_mod = importlib.import_module(
+        "posterior_matching.models.lookahead"
+    )
+    from posterior_matching_tpu.models.lookahead import LookaheadPosterior
+
+    pm_cfg = dict(
+        latent_dim=4,
+        encoder_net="ResidualMLP",
+        encoder_net_config=dict(residual_blocks=1, hidden_units=16),
+        decoder_net="ResidualMLP",
+        decoder_net_config=dict(residual_blocks=1, hidden_units=16),
+        posterior_dist="DiagonalGaussian",
+        decoder_dist="IdentityGaussian",
+        decoder_dist_config=dict(event_size=6),
+    )
+    la_cfg = dict(num_features=6)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(6), jnp.float32)
+    b = jnp.asarray([1, 0, 0, 1, 0, 1], jnp.float32)
+
+    def ref_fwd(x, b):
+        m = ref_la_mod.LookaheadPosterior.from_config(la_cfg, pm_cfg)
+        return m.expected_info_gains(x, b)
+
+    t = hk.transform(ref_fwd)
+    ref_params = t.init(jax.random.PRNGKey(0), x, b)
+    ref_gains = t.apply(ref_params, jax.random.PRNGKey(9), x, b)
+
+    mapped = {"pm_vae": {}}
+    for mod, leaves in ref_params.items():
+        wb = {
+            "kernel": np.asarray(leaves["w"]),
+            "bias": np.asarray(leaves["b"]),
+        }
+        if mod == "lookahead_posterior/~/lookahead_block/linear":
+            mapped["lookahead_block"] = {"Dense_0": wb}
+            continue
+        parts = mod.split("/")
+        idx = 0 if parts[1] == "linear" else int(parts[1].split("_")[1])
+        if parts[0] in ("encoder_net", "posterior_dist"):
+            node = mapped["pm_vae"].setdefault(parts[0], {})
+        else:
+            node = mapped.setdefault(parts[0], {})
+        node[f"Dense_{idx}"] = wb
+
+    model = LookaheadPosterior.from_config(la_cfg, pm_cfg)
+    gains = model.apply(
+        {"params": mapped}, x, b, method=model.expected_info_gains
+    )
+    got, want = np.asarray(gains), np.asarray(ref_gains)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(np.isneginf(got), np.isneginf(want))
+    finite = np.isfinite(want)
+    np.testing.assert_allclose(
+        got[finite], want[finite], rtol=1e-4, atol=1e-5
+    )
