@@ -481,3 +481,79 @@ def test_mixture_mask_density(ref_masking):
         ref_s = np.concatenate([ref(shape) for _ in range(reps)], 0)
         ours = _our_masks(name, shape, reps)
         assert abs(ref_s.mean() - ours.mean()) < 0.03, name
+
+
+# ---------------------------------------------------------------------------
+# PRD score + clustering accuracy (pure numpy/sklearn reference code)
+# ---------------------------------------------------------------------------
+
+
+def test_prd_matches_reference_vendored_implementation():
+    """Our eval/prd.py vs the reference's vendored prd_score.py (runs
+    directly — numpy/sklearn only) on the same embeddings: PRD curves and
+    max-F_beta pairs must agree to float tolerance."""
+    ref_prd = _import_reference("posterior_matching.prd.prd_score")
+    from posterior_matching_tpu.eval.prd import (
+        compute_prd_from_embedding,
+        prd_to_max_f_beta_pair,
+    )
+
+    rng = np.random.RandomState(0)
+    real = np.concatenate(
+        [rng.randn(150, 8), rng.randn(100, 8) * 0.5 + 2.0]
+    )
+    fake = np.concatenate(
+        [rng.randn(120, 8) * 1.2, rng.randn(130, 8) * 0.4 + 1.5]
+    )
+
+    # identical clustering: fix num_runs=1 and seed sklearn via the data
+    # order; compare through the same bin histogram by feeding the SAME
+    # cluster assignment path (both implementations call MiniBatchKMeans
+    # internally with their own seeds, so compare the curve computed from
+    # identical histograms instead).
+    counts_ref = ref_prd._cluster_into_bins(real, fake, 10)
+    prec_ref, rec_ref = ref_prd.compute_prd(
+        counts_ref[0], counts_ref[1], num_angles=101
+    )
+    from posterior_matching_tpu.eval import prd as my_prd
+
+    prec, rec = my_prd.compute_prd(
+        counts_ref[0], counts_ref[1], num_angles=101
+    )
+    np.testing.assert_allclose(prec, prec_ref, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(rec, rec_ref, rtol=1e-6, atol=1e-6)
+
+    f_ref = ref_prd.prd_to_max_f_beta_pair(prec_ref, rec_ref, beta=8)
+    f_mine = prd_to_max_f_beta_pair(prec, rec, beta=8)
+    np.testing.assert_allclose(f_mine, f_ref, rtol=1e-6)
+
+    # end-to-end (each implementation seeds its own MiniBatchKMeans):
+    # statistically close only — the rigorous check is the identical-
+    # histogram comparison above
+    ours_e2e = compute_prd_from_embedding(
+        eval_data=fake, ref_data=real, num_clusters=10,
+        num_angles=101, num_runs=10,
+    )
+    ref_e2e = ref_prd.compute_prd_from_embedding(
+        fake, real, num_clusters=10, num_angles=101, num_runs=10
+    )
+    f_o = prd_to_max_f_beta_pair(ours_e2e[0], ours_e2e[1], beta=8)
+    f_r = ref_prd.prd_to_max_f_beta_pair(ref_e2e[0], ref_e2e[1], beta=8)
+    assert abs(f_o[0] - f_r[0]) < 0.15 and abs(f_o[1] - f_r[1]) < 0.15
+
+
+def test_clustering_accuracy_matches_reference():
+    ref_clustering = _import_reference("posterior_matching.clustering")
+    from posterior_matching_tpu.eval.clustering import clustering_accuracy
+
+    rng = np.random.RandomState(0)
+    labels = rng.randint(0, 5, 500)
+    # predictions = a noisy permutation of the labels
+    perm = rng.permutation(5)
+    preds = perm[labels]
+    flip = rng.rand(500) < 0.2
+    preds[flip] = rng.randint(0, 5, flip.sum())
+
+    ours = clustering_accuracy(labels, preds)
+    ref = ref_clustering.clustering_accuracy(labels, preds)
+    np.testing.assert_allclose(ours, ref, rtol=1e-9)
