@@ -78,8 +78,14 @@ def plan_taps(
     return TapPlan(r1 - r0, c1 - c0, pad_top, pad_left)
 
 
+def _elu(z):
+    """elu via exp (jax.nn.elu lowers to expm1, which Mosaic lacks).
+    The minimum() guard keeps exp() in-range; values match elu exactly."""
+    return jnp.where(z > 0, z, jnp.exp(jnp.minimum(z, 0.0)) - 1.0)
+
+
 def _concat_elu(z):
-    return jnp.concatenate([jax.nn.elu(z), jax.nn.elu(-z)], axis=-1)
+    return jnp.concatenate([_elu(z), _elu(-z)], axis=-1)
 
 
 def _concat_elu_bwd(z, g2):
@@ -116,17 +122,26 @@ def _im2col(x_hw, h, w, c, taps: TapPlan):
 
 
 def _col2im(dp, h, w, c, taps: TapPlan):
-    """Adjoint of :func:`_im2col`: scatter-add taps back, [HW, T*C] -> [HW, C]."""
-    padded = jnp.zeros(
-        (h + taps.skh - 1, (w + taps.skw - 1) * c), dp.dtype
-    )
+    """Adjoint of :func:`_im2col`: [HW, T*C] -> [HW, C].
+
+    Each tap's contribution is zero-padded to the full padded grid and the
+    taps are SUMMED — pure pad+add ops (Mosaic has no scatter-add; overlap
+    accumulation via .at[].add does not lower)."""
+    total = None
     t = 0
     for i in range(taps.skh):
         for j in range(taps.skw):
             col = dp[:, t * c : (t + 1) * c].reshape(h, w * c)
-            padded = padded.at[i : i + h, j * c : (j + w) * c].add(col)
+            padded = jnp.pad(
+                col,
+                (
+                    (i, taps.skh - 1 - i),
+                    (j * c, (taps.skw - 1 - j) * c),
+                ),
+            )
+            total = padded if total is None else total + padded
             t += 1
-    return padded[
+    return total[
         taps.pad_top : taps.pad_top + h,
         taps.pad_left * c : (taps.pad_left + w) * c,
     ].reshape(h * w, c)

@@ -131,3 +131,36 @@ def test_fused_gradients_match_reference(has_aux):
 def test_plan_taps_rejects_negative_padding():
     with pytest.raises(ValueError):
         plan_taps((3, 3), (2, 3), (0, 3))  # pad_top = -1
+
+
+def test_fused_block_lowers_for_tpu():
+    """AOT-lower the fused kernel's grad for the TPU platform (no device
+    needed): catches Mosaic lowering rejections — unsupported primitives
+    (expm1, scatter-add), block-shape tiling rules — without risking a
+    wedged chip on a live compile."""
+    rng = np.random.RandomState(0)
+    B, H, W, F = 4, 16, 16, 128
+    x = jnp.asarray(rng.randn(B, H, W, F), jnp.float32)
+    aux = jnp.asarray(rng.randn(B, H, W, F), jnp.float32)
+    cond = jnp.asarray(rng.randn(B, 2 * F), jnp.float32)
+    mask = jnp.ones((B, H, W, 2 * F), jnp.float32)
+    wa = jnp.asarray(rng.randn(2, 3, 2 * F, F) * 0.05, jnp.float32)
+    ba = jnp.zeros(F)
+    waux = jnp.asarray(rng.randn(2 * F, F) * 0.05, jnp.float32)
+    wb = jnp.asarray(rng.randn(2, 3, 2 * F, 2 * F) * 0.05, jnp.float32)
+    bb = jnp.zeros(2 * F)
+
+    def f(x, wa, wb, waux):
+        out = fused_gated_block(
+            x, aux, cond, mask, wa, ba, waux, wb, bb,
+            kernel_size=(3, 3), valid_rows=(0, 2), valid_cols=(0, 3),
+            keep_prob=0.5, compute_dtype=jnp.bfloat16,
+        )
+        return jnp.sum(out ** 2)
+
+    lowered = (
+        jax.jit(jax.grad(f, argnums=(0, 1, 2, 3)))
+        .trace(x, wa, wb, waux)
+        .lower(lowering_platforms=("tpu",))
+    )
+    assert len(lowered.as_text()) > 0
