@@ -106,10 +106,16 @@ class Bernoulli(Distribution):
 
 class Categorical(Distribution):
     def __init__(self, logits=None, probs=None):
-        super().__init__()
+        # tfp's Categorical samples (and therefore `.dtype`) default to
+        # int32; reference pixel_cnn.py:62 casts log_prob inputs to it.
+        super().__init__(dtype=jnp.int32)
         if logits is None:
             logits = jnp.log(probs)
         self.logits = jnp.asarray(logits)
+
+    @property
+    def dtype(self):
+        return self._dtype
 
     def log_prob(self, x):
         lp = jax.nn.log_softmax(self.logits, axis=-1)
