@@ -358,6 +358,27 @@ def main():
     }
     for k, v in fused.items():
         out[f"{k}_steps_per_sec"] = round(v, 4)
+    # If the reference implementation itself has been measured on this
+    # hardware (bench_reference.py runs the reference's own code over the
+    # tests/refshims shims), report the implementation-vs-implementation
+    # ratio too — the true north-star denominator.
+    ref_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_REFERENCE.json"
+    )
+    # (No jax import here — the parent process must not claim the TPU; the
+    # records carry their platform, and only accelerator runs are
+    # comparable to this capture.)
+    try:
+        with open(ref_path) as f:
+            ref_records = json.load(f)
+        ref_sps = max(
+            r["value"] for r in ref_records
+            if r.get("platform") not in (None, "cpu") and r.get("value")
+        )
+        out["reference_impl_steps_per_sec"] = ref_sps
+        out["vs_reference_impl"] = round(best / ref_sps, 4)
+    except (OSError, ValueError, KeyError):
+        pass
     print(json.dumps(out))
 
 
