@@ -73,7 +73,13 @@ fi
 
 # 5. LAST (wedge risk): Pallas fused gated block + VQ kernel on-TPU
 #    validation/microbench. If this wedges the chip, everything above is
-#    already banked.
-run_step validate_fused 3600 python datasets/validate_fused_tpu.py
+#    already banked — but the DRIVER's end-of-round bench.py capture would
+#    also fail, repeating round 1's rc=1. Opt in only when enough wall-clock
+#    remains for the lease to be reaped (hours) before the round ends.
+if [ "${PM_RUN_WEDGE_RISKY:-0}" = "1" ]; then
+    run_step validate_fused 3600 python datasets/validate_fused_tpu.py
+else
+    note "SKIP validate_fused (set PM_RUN_WEDGE_RISKY=1 to include)"
+fi
 
 note "QUEUE COMPLETE"

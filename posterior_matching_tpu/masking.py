@@ -205,8 +205,12 @@ class _PatternCanvas:
                     (canvas_size, canvas_size), Image.BICUBIC
                 )
             )
-            # cached as numpy: tracing embeds it as a program constant
-            cls._cache[cache_key] = (pattern < density).astype(np.float32)
+            # cached as numpy: tracing embeds it as a plain program constant.
+            # uint8 (not f32): the random crops are HBM-bandwidth-bound
+            # gathers, so a 1-byte canvas moves 4x less data (and the
+            # embedded constant shrinks 16MB -> 4MB at the default size);
+            # crops are cast to f32 AFTER slicing.
+            cls._cache[cache_key] = (pattern < density).astype(np.uint8)
         return cls._cache[cache_key]
 
 
@@ -233,7 +237,8 @@ def random_pattern_mask(
     def crop(x, y):
         return jax.lax.dynamic_slice(canvas, (y, x), (h, w))
 
-    crops = jax.vmap(jax.vmap(crop))(xs, ys)  # [B, K, H, W]
+    # uint8 crops (bandwidth; see _PatternCanvas), cast once after slicing
+    crops = jax.vmap(jax.vmap(crop))(xs, ys).astype(jnp.float32)  # [B,K,H,W]
     coverage = jnp.mean(crops, axis=(-2, -1))
     valid = jnp.abs(coverage - density) < density_std
     # first valid candidate, else the candidate closest to target density
