@@ -50,8 +50,21 @@ def nrmse_score(imputations, true_data, observed_mask):
     mse = np.sum(error, axis=-2) / np.count_nonzero(
         1.0 - observed_mask, axis=-2
     )
-    nrmse = np.sqrt(mse) / np.std(true_data, axis=-2)
-    return np.mean(nrmse, axis=-1)
+    std = np.std(true_data, axis=-2)
+    nrmse = np.sqrt(mse) / std
+    # Zero-variance features (e.g. always-blank corner pixels in the real
+    # digits table) make the reference formula divide by zero; average only
+    # over features whose normalization is defined. Identical to the
+    # reference when every feature varies (the five UCI tables).
+    valid = np.all(
+        std.reshape(-1, std.shape[-1]) > 0, axis=0
+    )  # 1-D over features; std is trial-invariant (x is broadcast)
+    if not np.all(valid):
+        print(
+            f"NRMSE: excluding {int((~valid).sum())}/{valid.size} "
+            "zero-variance features from the normalized average."
+        )
+    return np.mean(nrmse[..., valid], axis=-1)
 
 
 def main(_):
