@@ -88,7 +88,8 @@ def main(_):
     y_true, y_pred = [], []
     for batch in ds:
         key, k = jax.random.split(key)
-        y_pred.append(np.asarray(predict_all_rates(batch["image"], k)))
+        x = batch["image"] if "image" in batch else batch["features"]
+        y_pred.append(np.asarray(predict_all_rates(x, k)))
         y_true.append(np.asarray(batch["label"]))
     y_true = np.concatenate(y_true)
     y_pred = np.concatenate(y_pred, axis=1)

@@ -94,3 +94,43 @@ def test_batch_process_concatenates():
     ds = ArrayDataset({"features": x}, batch_size=8, drop_remainder=False)
     out = batch_process(lambda b: {"y": b["features"] * 2}, ds)
     np.testing.assert_allclose(out["y"], x * 2)
+
+
+def test_nrmse_score_matches_reference_formula_when_all_features_vary():
+    from eval_pm_vae_uci import nrmse_score
+
+    rng = np.random.RandomState(0)
+    T, N, D = 3, 40, 7
+    true = rng.randn(N, D)
+    x = np.broadcast_to(true[None], (T, N, D))
+    imput = x + 0.1 * rng.randn(T, N, D)
+    mask = (rng.rand(T, N, D) > 0.5).astype(np.float32)
+    got = nrmse_score(imput, x, mask)
+    # the reference formula (reference eval_pm_vae_uci.py:60-66), per trial
+    for t in range(T):
+        err = (imput[t] - x[t]) ** 2
+        mse = np.sum(err, axis=-2) / np.count_nonzero(1.0 - mask[t], axis=-2)
+        want = np.mean(np.sqrt(mse) / np.std(x[t], axis=-2))
+        np.testing.assert_allclose(got[t], want, rtol=1e-12)
+
+
+def test_nrmse_score_excludes_zero_variance_features():
+    from eval_pm_vae_uci import nrmse_score
+
+    rng = np.random.RandomState(1)
+    T, N, D = 2, 30, 6
+    true = rng.randn(N, D)
+    true[:, 2] = 0.0  # an always-blank feature (real digits corner pixels)
+    x = np.broadcast_to(true[None], (T, N, D)).copy()
+    imput = x + 0.1 * rng.randn(T, N, D)
+    mask = (rng.rand(T, N, D) > 0.5).astype(np.float32)
+    got = nrmse_score(imput, x, mask)
+    assert got.shape == (T,)
+    assert np.all(np.isfinite(got))
+    # equals the plain formula restricted to the varying features
+    keep = [0, 1, 3, 4, 5]
+    for t in range(T):
+        err = (imput[t] - x[t]) ** 2
+        mse = np.sum(err, axis=-2) / np.count_nonzero(1.0 - mask[t], axis=-2)
+        per_feat = np.sqrt(mse) / np.std(x[t], axis=-2)
+        np.testing.assert_allclose(got[t], np.mean(per_feat[keep]), rtol=1e-12)
