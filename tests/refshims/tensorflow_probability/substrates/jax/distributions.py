@@ -17,6 +17,13 @@ FULLY_REPARAMETERIZED = "FULLY_REPARAMETERIZED"
 _HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
 
 
+def _shape_tuple(sample_shape):
+    """tfp accepts an int or a sequence for ``sample_shape``."""
+    if isinstance(sample_shape, int):
+        return (sample_shape,)
+    return tuple(sample_shape)
+
+
 class Distribution:
     """Minimal base: subclasses override log_prob/sample/etc. directly."""
 
@@ -40,7 +47,7 @@ class Normal(Distribution):
         return -0.5 * z * z - jnp.log(self.scale) - _HALF_LOG_2PI
 
     def sample(self, seed, sample_shape=()):
-        shape = tuple(sample_shape) + jnp.broadcast_shapes(
+        shape = _shape_tuple(sample_shape) + jnp.broadcast_shapes(
             self.loc.shape, self.scale.shape
         )
         return self.loc + self.scale * jax.random.normal(seed, shape)
@@ -99,7 +106,7 @@ class Bernoulli(Distribution):
         return jax.nn.sigmoid(self.logits)
 
     def sample(self, seed, sample_shape=()):
-        shape = tuple(sample_shape) + self.logits.shape
+        shape = _shape_tuple(sample_shape) + self.logits.shape
         u = jax.random.uniform(seed, shape)
         return (u < jax.nn.sigmoid(self.logits)).astype(jnp.int32)
 
@@ -124,7 +131,7 @@ class Categorical(Distribution):
         )[..., 0]
 
     def sample(self, seed, sample_shape=()):
-        shape = tuple(sample_shape) + self.logits.shape[:-1]
+        shape = _shape_tuple(sample_shape) + self.logits.shape[:-1]
         return jax.random.categorical(seed, self.logits, shape=shape)
 
     def mode(self):
@@ -172,7 +179,7 @@ class MultivariateNormalDiag(Distribution):
         )
 
     def sample(self, seed, sample_shape=()):
-        shape = tuple(sample_shape) + jnp.broadcast_shapes(
+        shape = _shape_tuple(sample_shape) + jnp.broadcast_shapes(
             self.loc.shape, self.scale_diag.shape
         )
         return self.loc + self.scale_diag * jax.random.normal(seed, shape)
@@ -215,7 +222,7 @@ class MultivariateNormalTriL(Distribution):
         )
 
     def sample(self, seed, sample_shape=()):
-        shape = tuple(sample_shape) + jnp.broadcast_shapes(
+        shape = _shape_tuple(sample_shape) + jnp.broadcast_shapes(
             self.loc.shape, self.scale_tril.shape[:-1]
         )
         eps = jax.random.normal(seed, shape)
