@@ -5,7 +5,7 @@ drop-in compatible with the reference's configs (same keys, same
 hyperparameters — see reference ``configs/``). Configs here are written as
 plain dict literals and converted, which keeps them terse and serializable.
 """
-from ml_collections import ConfigDict
+from ml_collections import ConfigDict, config_dict
 
 
 def config_from(d: dict) -> ConfigDict:
@@ -20,7 +20,13 @@ def config_from(d: dict) -> ConfigDict:
     # data HBM-resident with on-device batch gather (see train/trainer.py).
     d.setdefault("steps_per_call", 1)
     d.setdefault("device_resident_data", False)
-    return ConfigDict({k: conv(v) for k, v in d.items()})
+    out = ConfigDict({k: conv(v) for k, v in d.items()})
+    # CLI-settable seed (``--config.seed N``); the train scripts draw a
+    # random one when left unset, matching the reference
+    # (reference train_pm_vae.py:49-50).
+    if "seed" not in out:
+        out.seed = config_dict.placeholder(int)
+    return out
 
 
 def uci_pm_vae_config(

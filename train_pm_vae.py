@@ -36,13 +36,19 @@ from posterior_matching_tpu.train import (
 )
 from posterior_matching_tpu.utils import make_run_dir
 
+from posterior_matching_tpu.train.resume import (
+    define_resume_flag,
+    resume_state_from_flag,
+)
+
 config_flags.DEFINE_config_file("config", lock_config=False)
+define_resume_flag()
 
 
 def main(_):
     config = flags.FLAGS.config
 
-    if "seed" not in config:
+    if config.get("seed") is None:
         config.seed = random.randint(0, int(2e9))
 
     config.lock()
@@ -122,6 +128,7 @@ def main(_):
     train_state = trainer.fit(
         train_dataset,
         config.steps,
+        resume_from=resume_state_from_flag(),
         val_dataset=val_dataset,
         validation_freq=config.validation_freq,
         callbacks=callbacks,

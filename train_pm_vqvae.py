@@ -38,7 +38,13 @@ from posterior_matching_tpu.train import (
 )
 from posterior_matching_tpu.utils import make_run_dir
 
+from posterior_matching_tpu.train.resume import (
+    define_resume_flag,
+    resume_state_from_flag,
+)
+
 config_flags.DEFINE_config_file("config", lock_config=False)
+define_resume_flag()
 
 
 class ImputationCallback(Callback):
@@ -80,7 +86,7 @@ class ImputationCallback(Callback):
 def main(_):
     config = flags.FLAGS.config
 
-    if "seed" not in config:
+    if config.get("seed") is None:
         config.seed = random.randint(0, int(2e9))
 
     train_dataset, val_dataset = load_datasets(config.data)
@@ -173,6 +179,7 @@ def main(_):
     trainer.fit(
         train_dataset,
         config.steps,
+        resume_from=resume_state_from_flag(),
         val_dataset=val_dataset,
         validation_freq=config.validation_freq,
         callbacks=callbacks,

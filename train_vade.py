@@ -39,13 +39,19 @@ from posterior_matching_tpu.train import (
 )
 from posterior_matching_tpu.utils import batch_process, make_run_dir
 
+from posterior_matching_tpu.train.resume import (
+    define_resume_flag,
+    resume_state_from_flag,
+)
+
 config_flags.DEFINE_config_file("config", lock_config=False)
+define_resume_flag()
 
 
 def main(_):
     config = flags.FLAGS.config
 
-    if "seed" not in config:
+    if config.get("seed") is None:
         config.seed = random.randint(0, int(2e9))
 
     config.lock()
@@ -105,48 +111,57 @@ def main(_):
     run_dir = make_run_dir(prefix=f"vade-{config.data.dataset}")
     print("Using run directory:", run_dir)
 
-    # -- phase 1: pretraining ---------------------------------------------------
-    pretrain_trainer = Trainer(
-        pretrain_loss_fn, init_fn, optax.adam(config.pretrain_lr),
-        seed=config.seed,
-    )
-    print("Pretraining...")
-    pretrain_state = pretrain_trainer.fit(
-        train_dataset, config.pretrain_steps, validation_freq=10**9
-    )
-    save_train_state(
-        os.path.join(run_dir, "pretrain_state.pkl"), pretrain_state
-    )
+    resume_state = resume_state_from_flag()
+    if resume_state is not None:
+        # --resume_dir continues the final ELBO phase mid-run; the
+        # pretraining and GMM-graft phases are already baked into the
+        # checkpointed params.
+        initial_params = None
+    else:
+        # -- phase 1: pretraining -----------------------------------------------
+        pretrain_trainer = Trainer(
+            pretrain_loss_fn, init_fn, optax.adam(config.pretrain_lr),
+            seed=config.seed,
+        )
+        print("Pretraining...")
+        pretrain_state = pretrain_trainer.fit(
+            train_dataset, config.pretrain_steps, validation_freq=10**9
+        )
+        save_train_state(
+            os.path.join(run_dir, "pretrain_state.pkl"), pretrain_state
+        )
 
-    # -- phase 2: GMM fit on latents ---------------------------------------------
-    print("Fitting GMM...")
-    key = jax.random.PRNGKey(config.seed)
-    params_host = jax.device_get(pretrain_state.params)
-    enc = lambda batch, k: encode_fn(params_host, k, batch)
-    latents = batch_process(enc, train_dataset, key=key)
-    val_latents = batch_process(enc, val_dataset, key=key)
+        # -- phase 2: GMM fit on latents ------------------------------------------
+        print("Fitting GMM...")
+        key = jax.random.PRNGKey(config.seed)
+        params_host = jax.device_get(pretrain_state.params)
+        enc = lambda batch, k: encode_fn(params_host, k, batch)
+        latents = batch_process(enc, train_dataset, key=key)
+        val_latents = batch_process(enc, val_dataset, key=key)
 
-    gmm = GaussianMixture(
-        n_components=config.model.num_components,
-        covariance_type="diag",
-        max_iter=300,
-        n_init=10,
-    )
-    gmm.fit(latents)
-    gmm_preds = gmm.predict(val_latents)
-    targets = np.concatenate([b["label"] for b in val_dataset], axis=0)
-    print("GMM Accuracy:", round(clustering_accuracy(targets, gmm_preds), 4))
+        gmm = GaussianMixture(
+            n_components=config.model.num_components,
+            covariance_type="diag",
+            max_iter=300,
+            n_init=10,
+        )
+        gmm.fit(latents)
+        gmm_preds = gmm.predict(val_latents)
+        targets = np.concatenate([b["label"] for b in val_dataset], axis=0)
+        print(
+            "GMM Accuracy:", round(clustering_accuracy(targets, gmm_preds), 4)
+        )
 
-    gmm_params = {
-        "logits": np.log(gmm.weights_).astype(np.float32),
-        "mu": gmm.means_.astype(np.float32),
-        # diag covariances -> log of the SCALE (sqrt of variance)... the
-        # reference grafts log(covariances_) directly as log_scale
-        # (train_vade.py:116-122); we reproduce that behavior exactly.
-        "log_scale": np.log(gmm.covariances_).astype(np.float32),
-    }
-    initial_params = dict(params_host)
-    initial_params.update(gmm_params)
+        gmm_params = {
+            "logits": np.log(gmm.weights_).astype(np.float32),
+            "mu": gmm.means_.astype(np.float32),
+            # diag covariances -> log of the SCALE (sqrt of variance)... the
+            # reference grafts log(covariances_) directly as log_scale
+            # (train_vade.py:116-122); we reproduce that behavior exactly.
+            "log_scale": np.log(gmm.covariances_).astype(np.float32),
+        }
+        initial_params = dict(params_host)
+        initial_params.update(gmm_params)
 
     # -- phase 3: ELBO training ---------------------------------------------------
     with open(os.path.join(run_dir, "model_config.json"), "w") as fp:
@@ -175,6 +190,7 @@ def main(_):
     trainer.fit(
         train_dataset,
         config.steps,
+        resume_from=resume_state,
         val_dataset=val_dataset,
         validation_freq=config.validation_freq,
         callbacks=callbacks,

@@ -30,7 +30,13 @@ from posterior_matching_tpu.train import (
 )
 from posterior_matching_tpu.utils import make_run_dir
 
+from posterior_matching_tpu.train.resume import (
+    define_resume_flag,
+    resume_state_from_flag,
+)
+
 config_flags.DEFINE_config_file("config", lock_config=False)
+define_resume_flag()
 
 
 class ReconstructionCallback(Callback):
@@ -62,7 +68,7 @@ class ReconstructionCallback(Callback):
 def main(_):
     config = flags.FLAGS.config
 
-    if "seed" not in config:
+    if config.get("seed") is None:
         config.seed = random.randint(0, int(2e9))
 
     config.lock()
@@ -120,6 +126,7 @@ def main(_):
     trainer.fit(
         train_dataset,
         config.steps,
+        resume_from=resume_state_from_flag(),
         val_dataset=val_dataset,
         validation_freq=config.validation_freq,
         callbacks=callbacks,
