@@ -302,11 +302,13 @@ _CAPTURE_PATH = os.path.join(
 )
 
 
-def _probe_backend(timeout_s=300):
+def _probe_backend_once(timeout_s=300):
     """Cheap grantability probe in a fresh subprocess: a wedged TPU lease
     hangs client creation indefinitely (observed 2026-08-17: a Pallas kernel
-    dying in PJRT occupied the remote lease for hours). Returns True when a
-    tiny value round-trip completes."""
+    dying in PJRT occupied the remote lease for hours). Returns
+    ``(ok, stop_retrying)``: a timeout is the wedge signature and a spawn
+    failure is environmental — neither is worth retrying; a fast nonzero
+    exit is a transient tunnel error that is."""
     code = (
         "import jax, jax.numpy as jnp;"
         "print('OK', float(jnp.sum(jnp.ones((8, 8)))))"
@@ -316,9 +318,37 @@ def _probe_backend(timeout_s=300):
             [sys.executable, "-c", code], capture_output=True, text=True,
             timeout=timeout_s,
         )
-        return proc.returncode == 0 and "OK 64.0" in proc.stdout
-    except Exception:  # noqa: BLE001 — timeout or spawn failure = not grantable
-        return False
+        return (proc.returncode == 0 and "OK 64.0" in proc.stdout, False)
+    except subprocess.TimeoutExpired:
+        return (False, True)
+    except Exception:  # noqa: BLE001 — spawn failure: treat as wedge-like
+        return (False, True)  # not a transient tunnel error; don't retry
+
+
+def _probe_backend(timeout_s=300, max_attempts=3, retry_gap_s=30):
+    """Probe with retries on FAST failures only (transient HTTP 500s through
+    the tunnel — the exact round-1 failure mode). A probe that times out is
+    a wedged lease: retrying would just re-enter the claim queue and burn
+    ~5 min per attempt, so stop immediately and let the caller fall back to
+    the banked capture."""
+    for attempt in range(max_attempts):
+        ok, stop_retrying = _probe_backend_once(timeout_s)
+        if ok:
+            return True
+        if stop_retrying:
+            print(
+                "# backend probe hung or could not spawn — not retrying",
+                file=sys.stderr,
+            )
+            return False
+        print(
+            f"# backend probe attempt {attempt + 1}/{max_attempts} failed "
+            "fast (transient tunnel error)",
+            file=sys.stderr,
+        )
+        if attempt + 1 < max_attempts:
+            time.sleep(retry_gap_s)
+    return False
 
 
 def _emit_banked_capture(reason):

@@ -72,16 +72,13 @@ def _load_our_config(name):
 
 
 def _nrmse(imputations, true_data, observed_mask):
-    """Reference formula (reference eval_pm_vae_uci.py:60-66) with the same
-    zero-variance-feature exclusion as our eval_pm_vae_uci.nrmse_score."""
-    error = (imputations - true_data) ** 2
-    mse = np.sum(error, axis=-2) / np.count_nonzero(
-        1.0 - observed_mask, axis=-2
-    )
-    std = np.std(true_data, axis=-2)
-    nrmse = np.sqrt(mse) / std
-    valid = np.all(std.reshape(-1, std.shape[-1]) > 0, axis=0)
-    return np.mean(nrmse[..., valid], axis=-1)
+    """Delegates to ``eval_pm_vae_uci.nrmse_score`` — the SAME function that
+    computes the framework's own numbers (incl. the zero-variance-feature
+    exclusion) — so the ours-vs-reference quality table can never drift onto
+    two NRMSE definitions."""
+    from eval_pm_vae_uci import nrmse_score
+
+    return nrmse_score(imputations, true_data, observed_mask)
 
 
 def main():
@@ -182,7 +179,10 @@ def main():
           f"({steps / train_secs:.2f} steps/s)")
 
     # --- eval (the reference's own protocol, eval_pm_vae_uci.py) ---
-    n_eval = (x_test.shape[0] // args.eval_batch_size) * args.eval_batch_size
+    # Small UCI tables (wine: 17 test rows) are smaller than the default
+    # batch; clamp so n_eval never rounds down to zero.
+    eval_batch_size = min(args.eval_batch_size, x_test.shape[0])
+    n_eval = (x_test.shape[0] // eval_batch_size) * eval_batch_size
     x_eval = x_test[:n_eval]
 
     def eval_fn(batch):
@@ -202,8 +202,8 @@ def main():
     imputations, masks, lls = [], [], []
     for trial in range(args.num_trials):
         ims, bs, ls = [], [], []
-        for i in range(0, n_eval, args.eval_batch_size):
-            x = x_eval[i : i + args.eval_batch_size]
+        for i in range(0, n_eval, eval_batch_size):
+            x = x_eval[i : i + eval_batch_size]
             b = eval_mask_gen(x.shape).astype(np.float32)
             (im, ll), _ = eval_apply(
                 params, state, next(eval_prng),

@@ -8,6 +8,7 @@ non-finite masking with the same thresholds, results under
 reference's hand-rolled pmap wrapper (reference
 eval_pm_vdvae_likelihood.py:122-134); masks are generated on device.
 """
+import functools
 import json
 import math
 import os
@@ -112,14 +113,26 @@ def main(_):
     # TriL chains per device. batch_size stays the reference's CLI contract.
     chunk_rows = max(flags.FLAGS.batch_chunk, 1) * num_devices
 
+    @functools.lru_cache(maxsize=None)
+    def effective_chunk(n):
+        """Largest slice size <= chunk_rows that divides n exactly: every
+        sub-batch then has the SAME shape, so eval_step compiles once per
+        distinct batch size instead of once more for a ragged tail slice
+        (a second cold compile costs minutes through the remote-compile
+        tunnel)."""
+        for c in range(min(chunk_rows, n), 0, -1):
+            if n % c == 0:
+                return c
+
     x_lls, xo_lls = [], []
     for trial in range(flags.FLAGS.num_trials):
         x_lls.append([])
         xo_lls.append([])
         for batch in tqdm(dataset, total=total, desc=f"Trial {trial + 1}"):
             n = len(next(iter(batch.values())))
-            for s in range(0, n, chunk_rows):
-                sub = {k2: v[s : s + chunk_rows] for k2, v in batch.items()}
+            rows = effective_chunk(n)
+            for s in range(0, n, rows):
+                sub = {k2: v[s : s + rows] for k2, v in batch.items()}
                 key, k = jax.random.split(key)
                 px, pxu = eval_step(k, shard_batch(sub, mesh))
                 x_lls[-1].append(np.asarray(px))

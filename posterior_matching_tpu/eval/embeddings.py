@@ -30,14 +30,24 @@ _INCEPTION_URL = "https://tfhub.dev/tensorflow/tfgan/eval/inception/1"
 def _tfhub_module_cached() -> bool:
     """True iff the inception module is already on disk (no download would
     be triggered). TF-Hub caches each handle under
-    ``$TFHUB_CACHE_DIR/<sha1(handle)>``."""
-    cache_dir = os.environ.get("TFHUB_CACHE_DIR")
-    if not cache_dir:
-        return False
-    module_dir = os.path.join(
-        cache_dir, hashlib.sha1(_INCEPTION_URL.encode("utf8")).hexdigest()
-    )
-    return os.path.isdir(module_dir) and bool(os.listdir(module_dir))
+    ``<cache_dir>/<sha1(handle)>``, where cache_dir is ``$TFHUB_CACHE_DIR``
+    when set and otherwise TF-Hub's default, ``<tempdir>/tfhub_modules`` —
+    check both so an explicitly-unset env var doesn't hide a populated
+    default cache."""
+    import tempfile
+
+    candidates = [
+        os.environ.get("TFHUB_CACHE_DIR"),
+        os.path.join(tempfile.gettempdir(), "tfhub_modules"),
+    ]
+    digest = hashlib.sha1(_INCEPTION_URL.encode("utf8")).hexdigest()
+    for cache_dir in candidates:
+        if not cache_dir:
+            continue
+        module_dir = os.path.join(cache_dir, digest)
+        if os.path.isdir(module_dir) and os.listdir(module_dir):
+            return True
+    return False
 
 
 @functools.lru_cache(maxsize=1)

@@ -7,7 +7,9 @@ the data stream in constant time — a capability the reference lacks entirely
 / SURVEY.md §5). This module exposes it uniformly on every train CLI as
 ``--resume_dir <previous run dir>``.
 """
+import json
 import os
+import random
 from typing import Optional
 
 from absl import flags
@@ -26,6 +28,46 @@ def define_resume_flag():
         "3-phase VaDE pipeline this resumes the final ELBO phase "
         "(pretraining and the GMM fit are skipped).",
     )
+
+
+def resolve_seed(config) -> int:
+    """Resolve the training seed before ``config.lock()``.
+
+    Priority: an explicit ``config.seed`` > the seed persisted in
+    ``--resume_dir/train_meta.json`` > a fresh random draw. Restoring the
+    original run's seed on resume keeps the Trainer's base key — and with it
+    the mask, dropout, noise, and shuffle streams — identical to the
+    interrupted run, so resume-then-train equals train-straight-through
+    (the property tests/test_resume.py pins). Without this, a run started
+    without ``--config.seed`` would be unresumable exactly: only the model
+    config used to be written to the run dir, never the drawn seed.
+    """
+    if config.get("seed") is not None:
+        return int(config.seed)
+    run_dir = getattr(flags.FLAGS, "resume_dir", None)
+    if run_dir:
+        meta_path = os.path.join(run_dir, "train_meta.json")
+        try:
+            with open(meta_path) as fp:
+                seed = int(json.load(fp)["seed"])
+            print(f"Restored training seed {seed} from {meta_path}")
+            return seed
+        except (OSError, ValueError, KeyError, TypeError):
+            print(
+                f"WARNING: {meta_path} has no recoverable seed; drawing a "
+                "fresh one. The resumed mask/noise/shuffle streams will NOT "
+                "match the original run's."
+            )
+    return random.randint(0, int(2e9))
+
+
+def save_train_meta(run_dir: str, config) -> None:
+    """Persist the resolved seed (plus the step target, for the record) so a
+    later ``--resume_dir`` pointing at this run can restore the exact RNG
+    streams via :func:`resolve_seed`."""
+    meta = {"seed": int(config.seed), "steps": int(config.get("steps", 0))}
+    with open(os.path.join(run_dir, "train_meta.json"), "w") as fp:
+        json.dump(meta, fp)
 
 
 def resume_state_from_flag() -> Optional[TrainState]:

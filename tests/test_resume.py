@@ -149,3 +149,45 @@ def test_resume_matches_straight_run(tmp_path):
         jax.device_get(ts_full.params),
         jax.device_get(ts_b.params),
     )
+
+
+def test_resolve_seed_prefers_explicit_then_meta_then_fresh(tmp_path, monkeypatch):
+    """--resume_dir must restore the ORIGINAL run's (possibly randomly
+    drawn) seed from train_meta.json, or the resumed mask/noise/shuffle
+    streams silently diverge from the interrupted run's."""
+    import types
+
+    from ml_collections import ConfigDict
+
+    from posterior_matching_tpu.train import resume as R
+
+    cfg = ConfigDict({"seed": 123, "steps": 5})
+    R.save_train_meta(str(tmp_path), cfg)
+
+    # 1. explicit config.seed wins over everything
+    assert R.resolve_seed(cfg) == 123
+
+    # 2. seed=None + --resume_dir -> seed restored from train_meta.json
+    cfg_unseeded = ConfigDict({"seed": None, "steps": 5})
+    monkeypatch.setattr(
+        R, "flags", types.SimpleNamespace(
+            FLAGS=types.SimpleNamespace(resume_dir=str(tmp_path))
+        ),
+    )
+    assert R.resolve_seed(cfg_unseeded) == 123
+
+    # 3. no meta recoverable -> fresh draw (warns, still trains)
+    monkeypatch.setattr(
+        R, "flags", types.SimpleNamespace(
+            FLAGS=types.SimpleNamespace(resume_dir=str(tmp_path / "missing"))
+        ),
+    )
+    s = R.resolve_seed(cfg_unseeded)
+    assert isinstance(s, int) and 0 <= s <= int(2e9)
+
+    # 4. no flags at all (library use) -> fresh draw
+    monkeypatch.setattr(
+        R, "flags", types.SimpleNamespace(FLAGS=types.SimpleNamespace())
+    )
+    s2 = R.resolve_seed(cfg_unseeded)
+    assert isinstance(s2, int)

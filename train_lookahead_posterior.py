@@ -8,7 +8,6 @@ warm-starts the PM-VAE subtree from ``config.pm_vae_dir``.
 import json
 import math
 import os
-import random
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +37,9 @@ from posterior_matching_tpu.utils import make_run_dir
 
 from posterior_matching_tpu.train.resume import (
     define_resume_flag,
+    resolve_seed,
     resume_state_from_flag,
+    save_train_meta,
 )
 
 config_flags.DEFINE_config_file("config", lock_config=False)
@@ -48,8 +49,7 @@ define_resume_flag()
 def main(_):
     config = flags.FLAGS.config
 
-    if config.get("seed") is None:
-        config.seed = random.randint(0, int(2e9))
+    config.seed = resolve_seed(config)
 
     train_dataset, val_dataset = load_datasets(config.data)
     if config.get("device_resident_data", False):
@@ -119,6 +119,7 @@ def main(_):
 
     run_dir = make_run_dir(prefix=f"lookahead-{config.data.dataset}")
     print("Using run directory:", run_dir)
+    save_train_meta(run_dir, config)
 
     with open(os.path.join(run_dir, "lookahead_config.json"), "w") as fp:
         json.dump(config.model.to_dict(), fp)

@@ -8,7 +8,6 @@ on-device mask generation and training noise.
 """
 import json
 import os
-import random
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +37,9 @@ from posterior_matching_tpu.utils import make_run_dir
 
 from posterior_matching_tpu.train.resume import (
     define_resume_flag,
+    resolve_seed,
     resume_state_from_flag,
+    save_train_meta,
 )
 
 config_flags.DEFINE_config_file("config", lock_config=False)
@@ -48,8 +49,7 @@ define_resume_flag()
 def main(_):
     config = flags.FLAGS.config
 
-    if config.get("seed") is None:
-        config.seed = random.randint(0, int(2e9))
+    config.seed = resolve_seed(config)
 
     config.lock()
 
@@ -118,6 +118,7 @@ def main(_):
 
     run_dir = make_run_dir(prefix=f"pm-vae-{config.data.dataset}")
     print("Using run directory:", run_dir)
+    save_train_meta(run_dir, config)
 
     callbacks = [
         CheckpointCallback(os.path.join(run_dir, "train_state.pkl")),

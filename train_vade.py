@@ -9,7 +9,6 @@ validation callback.
 import json
 import os
 import pickle
-import random
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +40,9 @@ from posterior_matching_tpu.utils import batch_process, make_run_dir
 
 from posterior_matching_tpu.train.resume import (
     define_resume_flag,
+    resolve_seed,
     resume_state_from_flag,
+    save_train_meta,
 )
 
 config_flags.DEFINE_config_file("config", lock_config=False)
@@ -51,8 +52,7 @@ define_resume_flag()
 def main(_):
     config = flags.FLAGS.config
 
-    if config.get("seed") is None:
-        config.seed = random.randint(0, int(2e9))
+    config.seed = resolve_seed(config)
 
     config.lock()
 
@@ -110,6 +110,7 @@ def main(_):
 
     run_dir = make_run_dir(prefix=f"vade-{config.data.dataset}")
     print("Using run directory:", run_dir)
+    save_train_meta(run_dir, config)
 
     resume_state = resume_state_from_flag()
     if resume_state is not None:
@@ -118,6 +119,15 @@ def main(_):
         # checkpointed params.
         initial_params = None
     else:
+        # Phases 1 and 2 consume their OWN dataset streams (same config ->
+        # same shuffle seed -> same deterministic stream) so the phase-3
+        # stream that ``train_dataset`` yields never depends on how many
+        # batches the earlier phases drew. This is what makes --resume_dir
+        # exact for the 3-phase pipeline: Trainer.fit's skip_stream(step)
+        # only accounts for phase-3 steps, which is now the whole story.
+        pretrain_dataset, _ = load_datasets(config.data)
+        latents_dataset, _ = load_datasets(config.data)
+
         # -- phase 1: pretraining -----------------------------------------------
         pretrain_trainer = Trainer(
             pretrain_loss_fn, init_fn, optax.adam(config.pretrain_lr),
@@ -125,7 +135,7 @@ def main(_):
         )
         print("Pretraining...")
         pretrain_state = pretrain_trainer.fit(
-            train_dataset, config.pretrain_steps, validation_freq=10**9
+            pretrain_dataset, config.pretrain_steps, validation_freq=10**9
         )
         save_train_state(
             os.path.join(run_dir, "pretrain_state.pkl"), pretrain_state
@@ -136,7 +146,7 @@ def main(_):
         key = jax.random.PRNGKey(config.seed)
         params_host = jax.device_get(pretrain_state.params)
         enc = lambda batch, k: encode_fn(params_host, k, batch)
-        latents = batch_process(enc, train_dataset, key=key)
+        latents = batch_process(enc, latents_dataset, key=key)
         val_latents = batch_process(enc, val_dataset, key=key)
 
         gmm = GaussianMixture(

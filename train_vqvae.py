@@ -6,7 +6,6 @@ variable collection threaded through the trainer's mutable state.
 """
 import json
 import os
-import random
 from typing import Any, Dict
 
 import jax
@@ -32,7 +31,9 @@ from posterior_matching_tpu.utils import make_run_dir
 
 from posterior_matching_tpu.train.resume import (
     define_resume_flag,
+    resolve_seed,
     resume_state_from_flag,
+    save_train_meta,
 )
 
 config_flags.DEFINE_config_file("config", lock_config=False)
@@ -68,8 +69,7 @@ class ReconstructionCallback(Callback):
 def main(_):
     config = flags.FLAGS.config
 
-    if config.get("seed") is None:
-        config.seed = random.randint(0, int(2e9))
+    config.seed = resolve_seed(config)
 
     config.lock()
 
@@ -113,6 +113,7 @@ def main(_):
 
     run_dir = make_run_dir(prefix=f"vqvae-{config.data.dataset}")
     print("Using run directory:", run_dir)
+    save_train_meta(run_dir, config)
 
     with open(os.path.join(run_dir, "model_config.json"), "w") as fp:
         json.dump(config.model.to_dict(), fp)
