@@ -22,7 +22,11 @@ itself uses unseeded RNG for training masks):
 - ``RandomPatternMaskGenerator`` (reference :177): the 10000x10000 bicubic
   noise canvas is replaced by a smaller (default 2048) canvas with identical
   local statistics (the field is stationary), generated once per generator;
-  density rejection again via best-of-K.
+  density rejection again via best-of-K. Candidate densities come from a
+  host-precomputed summed-area table (four gathered corners per candidate,
+  exact integer counts) so only each batch element's WINNING crop is ever
+  sliced from the canvas — the [B, K, H, W] candidate-crop gather this
+  replaces dominated the measured mask-prologue cost on the CelebA step.
 """
 from __future__ import annotations
 
@@ -213,6 +217,27 @@ class _PatternCanvas:
             cls._cache[cache_key] = (pattern < density).astype(np.uint8)
         return cls._cache[cache_key]
 
+    _sat_cache = {}
+
+    @classmethod
+    def get_sat(cls, canvas_size, resolution, density, seed):
+        """Summed-area table of the thresholded canvas: ``sat[i, j]`` = number
+        of ones in ``canvas[:i, :j]`` (int32, shape ``[S+1, S+1]``). Lets the
+        density-rejection pass score every candidate crop with FOUR gathered
+        corners instead of materializing the full ``[B, K, H, W]`` crop stack
+        (the measured ~2 ms mask-prologue cost on the CelebA step is dominated
+        by exactly those candidate-crop window gathers)."""
+        cache_key = (canvas_size, resolution, density, seed)
+        if cache_key not in cls._sat_cache:
+            canvas = cls.get(canvas_size, resolution, density, seed)
+            sat = np.zeros((canvas_size + 1, canvas_size + 1), np.int32)
+            # int64 accumulation, then cast (max count 2048^2 < 2^31)
+            sat[1:, 1:] = np.cumsum(
+                np.cumsum(canvas, axis=0, dtype=np.int64), axis=1
+            ).astype(np.int32)
+            cls._sat_cache[cache_key] = sat
+        return cls._sat_cache[cache_key]
+
 
 def random_pattern_mask(
     key: jax.Array,
@@ -229,25 +254,36 @@ def random_pattern_mask(
     del max_size  # canvas_size plays its role on device
     b, h, w = _flatten_image_shape(shape)
     canvas = _PatternCanvas.get(canvas_size, resolution, density, canvas_seed)
+    sat = _PatternCanvas.get_sat(canvas_size, resolution, density, canvas_seed)
     k = _REJECTION_CANDIDATES
     kx, ky = jax.random.split(key)
     xs = jax.random.randint(kx, (b, k), 0, canvas_size - w + 1)
     ys = jax.random.randint(ky, (b, k), 0, canvas_size - h + 1)
 
-    def crop(x, y):
-        return jax.lax.dynamic_slice(canvas, (y, x), (h, w))
-
-    # uint8 crops (bandwidth; see _PatternCanvas), cast once after slicing
-    crops = jax.vmap(jax.vmap(crop))(xs, ys).astype(jnp.float32)  # [B,K,H,W]
-    coverage = jnp.mean(crops, axis=(-2, -1))
+    # Candidate densities from the summed-area table: four gathered corners
+    # per candidate instead of a [B, K, H, W] window gather — the selection
+    # is identical (the integer one-count is exact in both formulations; the
+    # f32 division matches the crop-mean bit-for-bit at power-of-two crop
+    # sizes and to 1 ulp otherwise). Only the ONE winning crop per batch
+    # element is then actually sliced.
+    sat = jnp.asarray(sat)  # embeds as a program constant, like the canvas
+    count = (
+        sat[ys + h, xs + w] - sat[ys, xs + w] - sat[ys + h, xs] + sat[ys, xs]
+    )
+    coverage = count.astype(jnp.float32) / np.float32(h * w)
     valid = jnp.abs(coverage - density) < density_std
     # first valid candidate, else the candidate closest to target density
     first = jnp.argmax(valid, axis=-1)
     closest = jnp.argmin(jnp.abs(coverage - density), axis=-1)
     idx = jnp.where(jnp.any(valid, axis=-1), first, closest)
-    picked = jnp.take_along_axis(
-        crops, idx[:, None, None, None], axis=1
-    )[:, 0]
+
+    x_sel = jnp.take_along_axis(xs, idx[:, None], axis=1)[:, 0]
+    y_sel = jnp.take_along_axis(ys, idx[:, None], axis=1)[:, 0]
+
+    def crop(x, y):
+        return jax.lax.dynamic_slice(canvas, (y, x), (h, w))
+
+    picked = jax.vmap(crop)(x_sel, y_sel).astype(jnp.float32)  # [B,H,W]
     return (1.0 - picked)[..., None]
 
 

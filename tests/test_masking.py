@@ -160,3 +160,71 @@ def test_mask_generator_kwargs_from_config():
     )
     m = np.asarray(gen(jax.random.PRNGKey(1), (100, 256)))
     assert m.sum(-1).max() <= int(256 * 0.2)
+
+
+def test_random_pattern_sat_selection_matches_full_crops():
+    """The summed-area-table density pass must pick EXACTLY the crops the
+    materialized [B, K, H, W] formulation picks (it replaced that path for
+    performance; selection semantics are part of the generator's contract)."""
+    import functools
+
+    from posterior_matching_tpu.masking import (
+        _PatternCanvas,
+        _REJECTION_CANDIDATES,
+        random_pattern_mask,
+    )
+
+    def full_crop_reference(key, shape, resolution, density, density_std,
+                            canvas_size, canvas_seed):
+        b, h, w = shape[0], shape[1], shape[2]
+        canvas = _PatternCanvas.get(
+            canvas_size, resolution, density, canvas_seed
+        )
+        k = _REJECTION_CANDIDATES
+        kx, ky = jax.random.split(key)
+        xs = jax.random.randint(kx, (b, k), 0, canvas_size - w + 1)
+        ys = jax.random.randint(ky, (b, k), 0, canvas_size - h + 1)
+
+        def crop(x, y):
+            return jax.lax.dynamic_slice(canvas, (y, x), (h, w))
+
+        crops = jax.vmap(jax.vmap(crop))(xs, ys).astype(jnp.float32)
+        coverage = jnp.mean(crops, axis=(-2, -1))
+        valid = jnp.abs(coverage - density) < density_std
+        first = jnp.argmax(valid, axis=-1)
+        closest = jnp.argmin(jnp.abs(coverage - density), axis=-1)
+        idx = jnp.where(jnp.any(valid, axis=-1), first, closest)
+        picked = jnp.take_along_axis(
+            crops, idx[:, None, None, None], axis=1
+        )[:, 0]
+        return (1.0 - picked)[..., None]
+
+    # power-of-two crop (bit-exact density arithmetic) and a non-power-of-two
+    # crop (f32 division may differ by 1 ulp from the crop mean -- still must
+    # select identically here; the canvas density field is nowhere near the
+    # knife's edge at these seeds)
+    for hw, seed in [(32, 0), (28, 1), (64, 2)]:
+        shape = (8, hw, hw, 1)
+        kwargs = dict(resolution=0.06, density=0.25, density_std=0.05,
+                      canvas_size=512, canvas_seed=7)
+        key = jax.random.PRNGKey(seed)
+        ours = random_pattern_mask(key, shape, **kwargs)
+        ref = full_crop_reference(key, shape, **kwargs)
+        np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
+def test_pattern_canvas_sat_counts_exact():
+    """sat[i, j] must equal the number of ones in canvas[:i, :j] for the
+    exact canvas the generators use (the SAT feeds the density-rejection
+    comparisons, which must match integer crop counts exactly)."""
+    from posterior_matching_tpu.masking import _PatternCanvas
+
+    args = (256, 0.06, 0.25, 3)
+    canvas = _PatternCanvas.get(*args)
+    sat = _PatternCanvas.get_sat(*args)
+    assert sat.shape == (257, 257) and sat.dtype == np.int32
+    rng = np.random.RandomState(0)
+    for _ in range(50):
+        y = rng.randint(0, 257)
+        x = rng.randint(0, 257)
+        assert sat[y, x] == int(canvas[:y, :x].sum())
