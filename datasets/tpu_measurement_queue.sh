@@ -58,6 +58,14 @@ run_step vdvae_steps 3600 python train_pm_vdvae.py --config configs/pm_vdvae_mni
     --config.steps 200 --config.validation_freq 100 \
     --config.steps_per_call 20 --config.device_resident_data=True
 
+# 3b. Same, bf16 bottleneck convs (distribution params stay f32): the
+#     remaining grad time is the backbone conv backward, which bf16 runs at
+#     MXU rate — expected to clear the 15.5 steps/s target.
+run_step vdvae_steps_bf16 3600 python train_pm_vdvae.py --config configs/pm_vdvae_mnist.py \
+    --config.model.compute_dtype bfloat16 \
+    --config.steps 200 --config.validation_freq 100 \
+    --config.steps_per_call 20 --config.device_resident_data=True
+
 # 4. The reference's documented 625-per-device likelihood batch on one chip
 #    (VERDICT item 7; chunked internally). Tiny instance count: the point is
 #    that batch_size 625 COMPLETES, not a full sweep.
