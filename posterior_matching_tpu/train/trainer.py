@@ -418,7 +418,17 @@ class Trainer:
             first = next(train_iter)
 
         if resume_from is not None:
-            ts = self.init(self._shard(first))  # builds tx for this config
+            # Build the optimizer (and its trainable/frozen label tree, when
+            # a trainable_predicate is set) from the RESTORED param
+            # structure: a warm-started run's checkpoint contains modules the
+            # fresh loss-fn init does not create (e.g. the lookahead
+            # trainer's grafted PM-VAE encoder subtree), and a tx labeled
+            # from the smaller fresh tree cannot step the restored params.
+            ts = self.init(
+                self._shard(first),
+                initial_params=resume_from.params,
+                initial_state=resume_from.state,
+            )
             put = lambda t: put_with_sharding(t, self._replicated)
             ts = TrainState(
                 params=put(resume_from.params),

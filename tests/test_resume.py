@@ -191,3 +191,72 @@ def test_resolve_seed_prefers_explicit_then_meta_then_fresh(tmp_path, monkeypatc
     )
     s2 = R.resolve_seed(cfg_unseeded)
     assert isinstance(s2, int)
+
+
+def test_resume_with_warm_start_and_frozen_subtree(tmp_path):
+    """Resuming a warm-started, partially-frozen run must work AND match the
+    straight run: the checkpoint's params contain a grafted module the fresh
+    loss-fn init does not create (the lookahead trainer's situation), so the
+    optimizer's trainable/frozen label tree must be rebuilt from the RESTORED
+    param structure, not the fresh init's."""
+    x = np.random.RandomState(0).randn(64, 4).astype(np.float32)
+
+    class Lk(nn.Module):
+        @nn.compact
+        def __call__(self, feats):
+            return nn.Dense(4, name="lookahead_head")(feats)
+
+    model = Lk()
+    # grafted "backbone" params the loss fn reads but init_fn never creates
+    graft = {
+        "backbone": {
+            "kernel": np.ones((4, 4), np.float32),
+            "bias": np.zeros((4,), np.float32),
+        }
+    }
+
+    def loss_fn(params, state, key, step, batch, is_training):
+        feats = batch["features"] @ params["backbone"]["kernel"]
+        pred = model.apply(
+            {"params": {"lookahead_head": params["lookahead_head"]}}, feats
+        )
+        return jnp.mean((pred - batch["features"]) ** 2), {}, state
+
+    def init_fn(key, batch):
+        return model.init(key, batch["features"])["params"], {}
+
+    def make():
+        ds = ArrayDataset({"features": x}, batch_size=16, shuffle=True, seed=3)
+        t = Trainer(
+            loss_fn, init_fn, optax.adam(1e-2),
+            trainable_predicate=lambda mod, name, v: "lookahead" in mod,
+            seed=7,
+        )
+        return ds, t
+
+    ds, t_full = make()
+    ts_full = t_full.fit(
+        ds, steps=14, validation_freq=100, initial_params=graft
+    )
+
+    ds2, t_a = make()
+    ts_a = t_a.fit(ds2, steps=7, validation_freq=100, initial_params=graft)
+    path = str(tmp_path / "ckpt.pkl")
+    save_train_state(path, ts_a)
+
+    ds3, t_b = make()
+    ts_b = t_b.fit(
+        ds3, steps=14, validation_freq=100,
+        resume_from=load_train_state(path),
+    )
+
+    # frozen graft untouched; trainable head matches the straight run
+    full = jax.device_get(ts_full.params)
+    resumed = jax.device_get(ts_b.params)
+    np.testing.assert_array_equal(
+        resumed["backbone"]["kernel"], graft["backbone"]["kernel"]
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        full, resumed,
+    )
