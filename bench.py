@@ -300,6 +300,9 @@ _DEADLINE = [0.0]
 _CAPTURE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_CAPTURE.json"
 )
+_REFERENCE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_REFERENCE.json"
+)
 
 
 def _probe_backend_once(timeout_s=300):
@@ -351,6 +354,27 @@ def _probe_backend(timeout_s=300, max_attempts=3, retry_gap_s=30):
     return False
 
 
+def _merge_reference_ratio(out):
+    """If the reference implementation itself has been measured on this
+    hardware (bench_reference.py runs the reference's own code over the
+    tests/refshims shims, writing BENCH_REFERENCE.json), add the
+    implementation-vs-implementation ratio — the true north-star
+    denominator. No jax import here: the parent process must not claim the
+    TPU; the records carry their platform, and only accelerator runs are
+    comparable to this capture."""
+    try:
+        with open(_REFERENCE_PATH) as f:
+            ref_records = json.load(f)
+        ref_sps = max(
+            r["value"] for r in ref_records
+            if r.get("platform") not in (None, "cpu") and r.get("value")
+        )
+        out["reference_impl_steps_per_sec"] = ref_sps
+        out["vs_reference_impl"] = round(out["value"] / ref_sps, 4)
+    except (OSError, ValueError, KeyError):
+        pass
+
+
 def _emit_banked_capture(reason):
     """Falls back to a capture banked EARLIER IN THIS ROUND by a successful
     run of this same script on the real chip (written by main() on success).
@@ -366,6 +390,11 @@ def _emit_banked_capture(reason):
         return False
     banked["cached"] = True
     banked["cache_reason"] = reason
+    # The banked capture may predate the reference measurement on this
+    # hardware; merge the ratio at emit time so the fallback still reports
+    # the implementation-vs-implementation number.
+    if "vs_reference_impl" not in banked:
+        _merge_reference_ratio(banked)
     print(json.dumps(banked))
     return True
 
@@ -441,27 +470,7 @@ def main():
     }
     for k, v in fused.items():
         out[f"{k}_steps_per_sec"] = round(v, 4)
-    # If the reference implementation itself has been measured on this
-    # hardware (bench_reference.py runs the reference's own code over the
-    # tests/refshims shims), report the implementation-vs-implementation
-    # ratio too — the true north-star denominator.
-    ref_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_REFERENCE.json"
-    )
-    # (No jax import here — the parent process must not claim the TPU; the
-    # records carry their platform, and only accelerator runs are
-    # comparable to this capture.)
-    try:
-        with open(ref_path) as f:
-            ref_records = json.load(f)
-        ref_sps = max(
-            r["value"] for r in ref_records
-            if r.get("platform") not in (None, "cpu") and r.get("value")
-        )
-        out["reference_impl_steps_per_sec"] = ref_sps
-        out["vs_reference_impl"] = round(best / ref_sps, 4)
-    except (OSError, ValueError, KeyError):
-        pass
+    _merge_reference_ratio(out)
     # Bank the fresh capture for a wedged-chip fallback later in the round.
     out["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     try:

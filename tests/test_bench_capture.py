@@ -19,8 +19,9 @@ def bench(tmp_path, monkeypatch):
     spec = importlib.util.spec_from_file_location("bench_under_test", _BENCH)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    # Point the banked-capture path into the sandbox.
+    # Point the banked-capture and reference paths into the sandbox.
     monkeypatch.setattr(mod, "_CAPTURE_PATH", str(tmp_path / "capture.json"))
+    monkeypatch.setattr(mod, "_REFERENCE_PATH", str(tmp_path / "ref.json"))
     return mod
 
 
@@ -51,6 +52,40 @@ def test_banked_capture_emitted_with_provenance(bench, capsys):
     assert rec["cache_reason"] == "backend unreachable"
     assert rec["value"] == 59.2
     assert rec["measured_at"] == banked["measured_at"]
+
+
+def test_banked_capture_merges_reference_ratio(bench, capsys):
+    """A banked capture that predates the on-chip reference measurement
+    still reports vs_reference_impl: the ratio is merged at emit time from
+    BENCH_REFERENCE.json (accelerator records only — CPU runs are not
+    comparable to a TPU capture)."""
+    with open(bench._CAPTURE_PATH, "w") as f:
+        json.dump({"metric": "m", "value": 60.0, "unit": "steps/sec"}, f)
+    with open(bench._REFERENCE_PATH, "w") as f:
+        json.dump(
+            [
+                {"value": 99.0, "platform": "cpu"},  # must be ignored
+                {"value": 20.0, "platform": "tpu"},
+                {"value": 15.0, "platform": "tpu"},  # max() wins above
+            ],
+            f,
+        )
+    assert bench._emit_banked_capture("backend unreachable") is True
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["reference_impl_steps_per_sec"] == 20.0
+    assert rec["vs_reference_impl"] == 3.0
+
+
+def test_banked_capture_keeps_existing_reference_ratio(bench, capsys):
+    # A capture banked by a fresh main() already carries the ratio; the
+    # fallback must not overwrite it with a possibly newer reference file.
+    with open(bench._CAPTURE_PATH, "w") as f:
+        json.dump({"metric": "m", "value": 60.0, "vs_reference_impl": 3.2}, f)
+    with open(bench._REFERENCE_PATH, "w") as f:
+        json.dump([{"value": 10.0, "platform": "tpu"}], f)
+    assert bench._emit_banked_capture("reason") is True
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["vs_reference_impl"] == 3.2
 
 
 def test_corrupt_banked_capture_is_ignored(bench):
