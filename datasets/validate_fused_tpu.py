@@ -5,21 +5,38 @@ Run (one TPU process at a time; see .claude/skills/verify/SKILL.md):
     python datasets/validate_fused_tpu.py
 
 Steps:
-1. compile + run the fused kernel fwd/bwd at flagship shapes;
-2. numerics: fused vs unfused PixelCNN logits and gradients at identical
-   params (eval mode exact-path check + training-mode grad flow);
-3. microbench: full PM-VQVAE train step, fused vs unfused, value-fetch
-   synced (block_until_ready is not a fence through the axon tunnel);
-4. microbench: Pallas VQ codebook search vs the XLA matmul path at
+1. numerics at HIGHEST matmul precision: fused vs unfused PixelCNN logits
+   and eval-mode gradients at identical params. `jax.default_matmul_precision`
+   applies at trace time, so it reaches the jnp.dot calls INSIDE the Pallas
+   kernel — this is the real on-device correctness check (tight relative
+   tolerance, no bf16-pass rounding in either path).
+2. numerics at DEFAULT precision: on TPU, f32 matmuls/convs run as single
+   bf16 MXU passes, so fused and unfused legitimately round differently —
+   measured 2026-08-18: plain(default) vs plain(highest) rel-max 2.7e-2,
+   fused vs plain(highest) 2.9e-2 at logits scale ~280 (probe in git
+   history). The check here is scale-RELATIVE and only asserts the fused
+   path's rounding is no worse than XLA's own.
+3. training-mode grads: finiteness only (dropout keys differ between paths
+   by construction; exact grad match is step 1 + CPU interpret tests).
+4. microbench: PixelCNN grad step fused vs unfused, f32 AND bf16 (the
+   flagship bench mode), value-fetch synced (block_until_ready is not a
+   fence through the axon tunnel).
+5. microbench: Pallas VQ codebook search vs the XLA matmul path at
    flagship shapes (N=8192, K=512, D=64) — VERDICT round-1 item 6.
 
 Prints PASS/FAIL lines plus timings; exits nonzero on numeric mismatch.
+``--steps 4,5`` (comma-separated) re-runs a subset without paying the
+others' compiles (the highest-precision passes alone cost ~7 min cold).
 """
+import argparse
 import functools
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from posterior_matching_tpu.runtime import configure_environment
 
@@ -44,17 +61,28 @@ def step_time(fn, *args, n=20):
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--steps", default="1,2,3,4,5",
+        help="comma-separated subset of validation steps to run",
+    )
+    args = parser.parse_args()
+    steps = {int(s) for s in args.steps.split(",")}
     failures = []
 
-    # ---- 1+2: fused vs unfused PixelCNN ---------------------------------
+    # ---- fused vs unfused PixelCNN --------------------------------------
     from posterior_matching_tpu.models.pixelcnn import PixelCNN
 
     kwargs = dict(
         num_indices=512, image_shape=(16, 16), dropout=0.5,
         num_resnet=12, num_hierarchies=1, num_filters=128,
     )
-    plain = PixelCNN(fused=False, **kwargs)
-    fused = PixelCNN(fused=True, **kwargs)
+    models = {
+        (fused, dt): PixelCNN(fused=fused, dtype=dt, **kwargs)
+        for fused in (False, True)
+        for dt in (None, "bfloat16")
+    }
+    plain, fused = models[(False, None)], models[(True, None)]
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randint(0, 512, (32, 16, 16)), jnp.int32)
@@ -63,20 +91,66 @@ def main():
     variables = plain.init(jax.random.PRNGKey(0), x, cond)
     print("init ok", flush=True)
 
-    l_plain = jax.jit(
-        lambda v, x, c: plain.apply(v, x, c, training=False)
-    )(variables, x, cond)
-    t0 = time.time()
-    l_fused = jax.jit(
-        lambda v, x, c: fused.apply(v, x, c, training=False)
-    )(variables, x, cond)
-    err = float(jnp.max(jnp.abs(l_fused - l_plain)))
-    print(f"fused fwd compile+run ok ({time.time()-t0:.1f}s); "
-          f"max |logits diff| = {err:.3e}", flush=True)
-    if err > 1e-3:
-        failures.append(f"fwd logits mismatch {err}")
+    def logits_fn(model):
+        return jax.jit(
+            lambda v, x, c: model.apply(v, x, c, training=False)
+        )
 
-    def loss(model):
+    # -- step 1: HIGHEST-precision equality (logits + eval-mode grads) ----
+    def eval_loss_grad(model):
+        def f(v, x, c):
+            out = model.apply(v, x, c, training=False)
+            return jnp.mean(out ** 2)
+        return jax.jit(jax.grad(f))
+
+    if steps & {1, 2}:
+        with jax.default_matmul_precision("highest"):
+            t0 = time.time()
+            l_plain_hi = np.asarray(logits_fn(plain)(variables, x, cond))
+            l_fused_hi = np.asarray(logits_fn(fused)(variables, x, cond))
+            print(f"highest-precision fwd ok ({time.time()-t0:.1f}s)",
+                  flush=True)
+            scale = float(np.max(np.abs(l_plain_hi)))
+            rel = float(np.max(np.abs(l_fused_hi - l_plain_hi))) / scale
+            print(f"fwd @highest: logits scale {scale:.1f}, "
+                  f"fused-vs-plain rel-max {rel:.3e}", flush=True)
+            if rel > 1e-4:
+                failures.append(f"fwd @highest rel mismatch {rel:.3e}")
+
+            if 1 in steps:
+                t0 = time.time()
+                g_plain_hi = eval_loss_grad(plain)(variables, x, cond)
+                g_fused_hi = eval_loss_grad(fused)(variables, x, cond)
+                print(f"highest-precision bwd ok ({time.time()-t0:.1f}s)",
+                      flush=True)
+                worst = 0.0
+                for a, b in zip(
+                    jax.tree.leaves(g_plain_hi), jax.tree.leaves(g_fused_hi)
+                ):
+                    a, b = np.asarray(a), np.asarray(b)
+                    gs = max(float(np.max(np.abs(a))), 1e-6)
+                    worst = max(worst, float(np.max(np.abs(a - b))) / gs)
+                print(f"bwd @highest: worst per-leaf rel-max {worst:.3e}",
+                      flush=True)
+                if worst > 1e-3:
+                    failures.append(f"bwd @highest rel mismatch {worst:.3e}")
+
+    # -- step 2: default precision (bf16-pass rounding, scale-relative) ---
+    if 2 in steps:
+        l_plain = np.asarray(logits_fn(plain)(variables, x, cond))
+        l_fused = np.asarray(logits_fn(fused)(variables, x, cond))
+        rel_xla = float(np.max(np.abs(l_plain - l_plain_hi))) / scale
+        rel_fused = float(np.max(np.abs(l_fused - l_plain_hi))) / scale
+        print(f"fwd @default: rel-max vs exact — xla {rel_xla:.3e}, "
+              f"fused {rel_fused:.3e}", flush=True)
+        if rel_fused > max(3.0 * rel_xla, 5e-2):
+            failures.append(
+                f"fused default-precision rounding {rel_fused:.3e} worse "
+                f"than 3x XLA's own {rel_xla:.3e}"
+            )
+
+    # -- step 3: training-mode grads finite --------------------------------
+    def train_loss_grad(model):
         def f(v, x, c, key):
             out = model.apply(
                 v, x, c, training=True, rngs={"dropout": key}
@@ -85,46 +159,48 @@ def main():
         return jax.jit(jax.grad(f))
 
     k = jax.random.PRNGKey(3)
-    t0 = time.time()
-    g_fused = loss(fused)(variables, x, cond, k)
-    print(f"fused bwd compile+run ok ({time.time()-t0:.1f}s)", flush=True)
-    g_plain = loss(plain)(variables, x, cond, k)
-    # dropout masks differ between paths (different key derivation), so
-    # compare only gradient MAGNITUDE sanity + finiteness here; the exact
-    # gradient match is covered on CPU interpret (tests/test_gated_block.py)
-    for name, g in (("fused", g_fused), ("plain", g_plain)):
-        finite = all(
-            bool(jnp.isfinite(leaf).all()) for leaf in jax.tree.leaves(g)
+    if 3 in steps:
+        for name, model in (("fused", fused), ("plain", plain)):
+            g = train_loss_grad(model)(variables, x, cond, k)
+            finite = all(
+                bool(jnp.isfinite(leaf).all()) for leaf in jax.tree.leaves(g)
+            )
+            print(f"{name} train grads finite: {finite}", flush=True)
+            if not finite:
+                failures.append(f"{name} grads non-finite")
+
+    # -- step 4: grad-step microbench, f32 and bf16 ------------------------
+    if 4 in steps:
+        for dt in (None, "bfloat16"):
+            t_plain = step_time(
+                train_loss_grad(models[(False, dt)]), variables, x, cond, k
+            )
+            t_fused = step_time(
+                train_loss_grad(models[(True, dt)]), variables, x, cond, k
+            )
+            print(f"grad step [{dt or 'f32'}]: unfused {t_plain*1e3:.2f} ms, "
+                  f"fused {t_fused*1e3:.2f} ms "
+                  f"({t_plain/t_fused:.2f}x)", flush=True)
+
+    # ---- step 5: VQ kernel microbench ------------------------------------
+    if 5 in steps:
+        from posterior_matching_tpu.ops.vq import (
+            nearest_codebook_indices_pallas,
+            nearest_codebook_indices_xla,
         )
-        print(f"{name} grads finite: {finite}", flush=True)
-        if not finite:
-            failures.append(f"{name} grads non-finite")
 
-    # ---- 3: step-time microbench ---------------------------------------
-    t_plain = step_time(loss(plain), variables, x, cond, k)
-    t_fused = step_time(loss(fused), variables, x, cond, k)
-    print(f"grad step: unfused {t_plain*1e3:.2f} ms, "
-          f"fused {t_fused*1e3:.2f} ms "
-          f"({t_plain/t_fused:.2f}x)", flush=True)
-
-    # ---- 4: VQ kernel microbench ---------------------------------------
-    from posterior_matching_tpu.ops.vq import (
-        nearest_codebook_indices_pallas,
-        nearest_codebook_indices_xla,
-    )
-
-    z = jnp.asarray(rng.randn(8192, 64), jnp.float32)
-    cb = jnp.asarray(rng.randn(512, 64), jnp.float32)
-    pal = jax.jit(nearest_codebook_indices_pallas)
-    xla = jax.jit(nearest_codebook_indices_xla)
-    same = bool(jnp.all(pal(z, cb) == xla(z, cb)))
-    print(f"VQ pallas == xla on TPU: {same}", flush=True)
-    if not same:
-        failures.append("VQ pallas != xla on TPU")
-    t_pal = step_time(pal, z, cb, n=50)
-    t_xla = step_time(xla, z, cb, n=50)
-    print(f"VQ search: xla {t_xla*1e6:.1f} us, pallas {t_pal*1e6:.1f} us",
-          flush=True)
+        z = jnp.asarray(rng.randn(8192, 64), jnp.float32)
+        cb = jnp.asarray(rng.randn(512, 64), jnp.float32)
+        pal = jax.jit(nearest_codebook_indices_pallas)
+        xla = jax.jit(nearest_codebook_indices_xla)
+        same = bool(jnp.all(pal(z, cb) == xla(z, cb)))
+        print(f"VQ pallas == xla on TPU: {same}", flush=True)
+        if not same:
+            failures.append("VQ pallas != xla on TPU")
+        t_pal = step_time(pal, z, cb, n=50)
+        t_xla = step_time(xla, z, cb, n=50)
+        print(f"VQ search: xla {t_xla*1e6:.1f} us, pallas {t_pal*1e6:.1f} us",
+              flush=True)
 
     if failures:
         print("FAIL:", failures)

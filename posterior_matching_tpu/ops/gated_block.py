@@ -80,8 +80,13 @@ def plan_taps(
 
 def _elu(z):
     """elu via exp (jax.nn.elu lowers to expm1, which Mosaic lacks).
-    The minimum() guard keeps exp() in-range; values match elu exactly."""
-    return jnp.where(z > 0, z, jnp.exp(jnp.minimum(z, 0.0)) - 1.0)
+    The minimum() guard keeps exp() in-range; values match elu exactly.
+    Math runs in f32: Mosaic has no bf16 vector compare (arith.cmpf on
+    bf16 fails with "Target does not support this comparison"), and the
+    f32 transcendentals match the unfused path's excess-precision
+    elementwise ops. Callers cast the result to the compute dtype."""
+    zf = z.astype(jnp.float32)
+    return jnp.where(zf > 0, zf, jnp.exp(jnp.minimum(zf, 0.0)) - 1.0)
 
 
 def _concat_elu(z):
@@ -89,11 +94,14 @@ def _concat_elu(z):
 
 
 def _concat_elu_bwd(z, g2):
-    """d/dz of concat_elu given upstream [N, 2C] cotangent; z is [N, C]."""
+    """d/dz of concat_elu given upstream [N, 2C] cotangent; z is [N, C].
+    f32 internally for the same Mosaic bf16-compare reason as :func:`_elu`."""
     c = z.shape[-1]
-    g_pos, g_neg = g2[..., :c], g2[..., c:]
-    d_pos = jnp.where(z > 0, 1.0, jnp.exp(z))
-    d_neg = jnp.where(-z > 0, 1.0, jnp.exp(-z))
+    zf = z.astype(jnp.float32)
+    g_pos = g2[..., :c].astype(jnp.float32)
+    g_neg = g2[..., c:].astype(jnp.float32)
+    d_pos = jnp.where(zf > 0, 1.0, jnp.exp(zf))
+    d_neg = jnp.where(-zf > 0, 1.0, jnp.exp(-zf))
     return g_pos * d_pos - g_neg * d_neg
 
 

@@ -82,17 +82,22 @@ def nearest_codebook_indices_pallas(
 def nearest_codebook_indices(
     z: jnp.ndarray, codebook: jnp.ndarray, use_pallas: bool = None
 ) -> jnp.ndarray:
-    """Dispatcher: Pallas on TPU, XLA elsewhere (CPU tests, interpretation).
+    """Dispatcher. Default is the XLA path everywhere: on-TPU measurement at
+    the flagship shape (N=8192, K=512, D=64; datasets/validate_fused_tpu.py,
+    2026-08-18) shows XLA at 1019 us vs the Pallas kernel's 1488 us — the
+    [N, K] score matrix fits comfortably in cache-friendly tiles at these
+    sizes, so XLA's fused matmul+argmax wins. Both paths are exact-matched
+    on TPU; pass ``use_pallas=True`` for shapes where the score matrix
+    genuinely blows HBM.
 
     The argmin is piecewise constant in its inputs, so the search is wrapped
     in stop_gradient (also required: pallas_call defines no autodiff rule)."""
     z = jax.lax.stop_gradient(z)
     codebook = jax.lax.stop_gradient(codebook)
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    n, d = z.shape
-    if use_pallas and n >= 1024 and d % 8 == 0 and codebook.shape[0] % 128 == 0:
-        return nearest_codebook_indices_pallas(z, codebook)
+    if use_pallas:
+        n, d = z.shape
+        if n >= 1024 and d % 8 == 0 and codebook.shape[0] % 128 == 0:
+            return nearest_codebook_indices_pallas(z, codebook)
     return nearest_codebook_indices_xla(z, codebook)
 
 
