@@ -43,6 +43,11 @@ CHUNK = 20
 # Recorded host-pipeline baseline (BASELINE.md, measured 2026-08-16 on the
 # same chip/workload) — used for vs_baseline ONLY if the live host-pipeline
 # measurement fails after retries; the JSON then marks the fallback.
+# ALSO the floor for the live measurement: the host pipeline is dominated by
+# per-step host->device transfer + dispatch latency through the axon relay,
+# which swings 2x between sessions (measured 24.4 / 20.8 / 11.0 steps/s on
+# identical code). Taking max(live, recorded-best) keeps vs_baseline
+# CONSERVATIVE — a slow relay day inflates the ratio, never the other way.
 RECORDED_HOST_STEPS_PER_SEC = 24.4
 
 
@@ -459,6 +464,11 @@ def main():
     if naive is None:
         naive = RECORDED_HOST_STEPS_PER_SEC
         baseline_source = "recorded_round1"
+    elif naive < RECORDED_HOST_STEPS_PER_SEC:
+        # Relay-latency noise slowed the baseline below its recorded best;
+        # clamp so vs_baseline stays conservative (see constant's comment).
+        naive = RECORDED_HOST_STEPS_PER_SEC
+        baseline_source = "measured_clamped_to_recorded_best"
 
     out = {
         "metric": "pm_vqvae_celeba_train_steps_per_sec_per_chip",
