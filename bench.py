@@ -404,6 +404,17 @@ def _emit_banked_capture(reason):
     return True
 
 
+def _resolve_baseline(measured):
+    """vs_baseline denominator + provenance tag. The live host-pipeline
+    measurement is clamped UP to its recorded best so relay-latency noise
+    can only understate the win (see RECORDED_HOST_STEPS_PER_SEC)."""
+    if measured is None:
+        return RECORDED_HOST_STEPS_PER_SEC, "recorded_round1"
+    if measured < RECORDED_HOST_STEPS_PER_SEC:
+        return RECORDED_HOST_STEPS_PER_SEC, "measured_clamped_to_recorded_best"
+    return measured, "measured"
+
+
 def main():
     _DEADLINE[0] = time.monotonic() + float(
         os.environ.get("PM_BENCH_BUDGET", 5400)
@@ -459,16 +470,7 @@ def main():
         sys.exit(1)
 
     best = max(fused.values())
-    naive = results.get("host_baseline")
-    baseline_source = "measured"
-    if naive is None:
-        naive = RECORDED_HOST_STEPS_PER_SEC
-        baseline_source = "recorded_round1"
-    elif naive < RECORDED_HOST_STEPS_PER_SEC:
-        # Relay-latency noise slowed the baseline below its recorded best;
-        # clamp so vs_baseline stays conservative (see constant's comment).
-        naive = RECORDED_HOST_STEPS_PER_SEC
-        baseline_source = "measured_clamped_to_recorded_best"
+    naive, baseline_source = _resolve_baseline(results.get("host_baseline"))
 
     out = {
         "metric": "pm_vqvae_celeba_train_steps_per_sec_per_chip",

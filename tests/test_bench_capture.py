@@ -103,3 +103,25 @@ def test_probe_backend_handles_spawn_failure(bench, monkeypatch):
 
     monkeypatch.setattr(subprocess, "run", boom)
     assert bench._probe_backend() is False
+
+
+def test_baseline_clamped_up_to_recorded_best(bench):
+    """Relay-latency noise slows the host baseline 2x between sessions on
+    identical code; vs_baseline must only ever UNDERSTATE the win."""
+    slow = bench.RECORDED_HOST_STEPS_PER_SEC / 2
+    naive, src = bench._resolve_baseline(slow)
+    assert naive == bench.RECORDED_HOST_STEPS_PER_SEC
+    assert src == "measured_clamped_to_recorded_best"
+
+
+def test_baseline_live_measurement_wins_when_faster(bench):
+    fast = bench.RECORDED_HOST_STEPS_PER_SEC * 1.5
+    naive, src = bench._resolve_baseline(fast)
+    assert naive == fast
+    assert src == "measured"
+
+
+def test_baseline_falls_back_to_recorded_when_unmeasured(bench):
+    naive, src = bench._resolve_baseline(None)
+    assert naive == bench.RECORDED_HOST_STEPS_PER_SEC
+    assert src == "recorded_round1"
