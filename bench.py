@@ -9,11 +9,15 @@ on the reference's PM-VQVAE CelebA workload shape
 (configs/pm_vqvae_celeb_a.py: 64x64x3 images, batch 32, 16x16 code grid, 12
 gated resnet blocks, 128 filters, codebook 512).
 
-``vs_baseline`` is measured, not assumed: the same model stepped the way the
+THE HEADLINE RATIO is ``vs_reference_impl``: our steps/sec against the
+reference implementation's OWN code measured on the same chip
+(bench_reference.py -> BENCH_REFERENCE.json). ``vs_baseline`` is a secondary,
+deliberately conservative number: the same model stepped the way the
 reference's input pipeline works — per-batch host-side numpy mask generation
-(reference masking.py:342 tf.py_function) + host->device transfer + one
-dispatch each step — on the same chip. The ratio is the end-to-end win of
-moving the input pipeline into the XLA program.
+(reference masking.py:342 tf.py_function; the numpy stand-in here omits the
+RandomPattern/PIL and nested-mixture cost, so it UNDERSTATES the host cost)
++ host->device transfer + one dispatch each step — on the same chip, clamped
+to its recorded best (see RECORDED_HOST_STEPS_PER_SEC).
 
 Robustness architecture (round 2): the round-1 driver capture died because a
 single transient remote-compile tunnel failure (HTTP 500 / broken pipe) hit
@@ -376,7 +380,10 @@ def _merge_reference_ratio(out):
         )
         out["reference_impl_steps_per_sec"] = ref_sps
         out["vs_reference_impl"] = round(out["value"] / ref_sps, 4)
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError, AttributeError):
+        # TypeError/AttributeError: malformed BENCH_REFERENCE.json (object
+        # instead of list, non-dict records, "value": null) must not crash
+        # the wedged-chip fallback path this function exists to keep robust.
         pass
 
 
@@ -470,7 +477,8 @@ def main():
         sys.exit(1)
 
     best = max(fused.values())
-    naive, baseline_source = _resolve_baseline(results.get("host_baseline"))
+    live_host = results.get("host_baseline")
+    naive, baseline_source = _resolve_baseline(live_host)
 
     out = {
         "metric": "pm_vqvae_celeba_train_steps_per_sec_per_chip",
@@ -480,6 +488,10 @@ def main():
         "baseline_source": baseline_source,
         "host_masking_steps_per_sec": round(naive, 4),
     }
+    if baseline_source == "measured_clamped_to_recorded_best":
+        # Preserve the raw live measurement alongside the clamped
+        # denominator so the capture documents what was actually measured.
+        out["host_masking_live_steps_per_sec"] = round(live_host, 4)
     for k, v in fused.items():
         out[f"{k}_steps_per_sec"] = round(v, 4)
     _merge_reference_ratio(out)

@@ -94,16 +94,7 @@ def main():
         "grad", jax.jit(jax.grad(loss_fwd)), params, state, x, b0, k_drop
     )
 
-    # full fused step (per-dispatch; donation disabled by copying)
-    p = jax.tree.map(jnp.copy, params)
-    o = jax.tree.map(jnp.copy, opt_state)
-
-    def full(p, o, k):
-        return fused_step(
-            jax.tree.map(jnp.copy, p), jax.tree.map(jnp.copy, o), state, x, k
-        )
-
-    # warm the fused_step program once via _time_fused-style stepping
+    # full fused step, timed via the chunked program (bench._time_fused)
     sps = bench._time_fused(
         jax, jnp, params, state, opt_state, fused_chunk, images,
         3, steps_per_call=bench.CHUNK,

@@ -141,6 +141,21 @@ def pm_vqvae_impute(
             conditional_input=cond,
         )
     else:
+        # Every shipped reference config qualifies for the fast path; a
+        # custom topology silently landing here would pay a measured ~77x
+        # sampling slowdown (BASELINE.md) — say so loudly.
+        import warnings
+
+        warnings.warn(
+            "pm_vqvae_impute: PixelCNN topology (num_hierarchies="
+            f"{pc_kwargs.get('num_hierarchies', 1)}, receptive_field_dims="
+            f"{tuple(pc_kwargs.get('receptive_field_dims', (3, 3)))}) is not "
+            "covered by the incrementally-cached sampler; falling back to "
+            "the naive full-forward raster sampler (~77x slower on TPU at "
+            "flagship shapes).",
+            stacklevel=2,
+        )
+
         def logits_fn(codes, c):
             return model.apply(
                 variables, codes, c, method=model.pixel_cnn_logits

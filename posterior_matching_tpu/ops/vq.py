@@ -101,23 +101,6 @@ def nearest_codebook_indices(
     return nearest_codebook_indices_xla(z, codebook)
 
 
-@jax.custom_vjp
-def _straight_through(z, q):
-    return q
-
-
-def _st_fwd(z, q):
-    return q, None
-
-
-def _st_bwd(_, g):
-    # gradient flows to z unchanged; codebook receives none through this path
-    return g, jnp.zeros_like(g)
-
-
-_straight_through.defvjp(_st_fwd, _st_bwd)
-
-
 def vq_straight_through(z: jnp.ndarray, quantized: jnp.ndarray) -> jnp.ndarray:
     """Straight-through estimator: forward value is ``quantized``, gradient
     passes to ``z`` (the reference gets this from haiku's quantizer;

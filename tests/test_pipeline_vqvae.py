@@ -182,3 +182,44 @@ def test_bf16_compute_dtype(image_data):
     np.testing.assert_allclose(
         np.asarray(ll16), np.asarray(ll32), rtol=0.1, atol=2.0
     )
+
+
+def test_naive_sampler_fallback_warns(image_data):
+    """Topologies outside the cached sampler's coverage (hierarchies > 1 or
+    non-(3,3) receptive fields) must fall back LOUDLY: the naive raster
+    sampler is ~77x slower on TPU (BASELINE.md)."""
+    import warnings
+
+    def init_all(model, x, b):
+        # the loss path alone does not create the VQ-VAE decoder params
+        # that imputation decodes through — trace both
+        return model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, b,
+            method=lambda m, x, b: (
+                m(x, b, training=False),
+                m.decode_code_samples(
+                    jnp.zeros((1, x.shape[0], 4, 4), jnp.int32)
+                ),
+            ),
+        )
+
+    pc_cfg = dict(PIXEL_CNN_CONFIG, receptive_field_dims=(5, 5))
+    model = PMVQVAE.from_config(16, VQ_CONFIG, pc_cfg)
+    x = jnp.asarray(image_data[:2])
+    b = jnp.ones_like(x)
+    variables = init_all(model, x, b)
+    with pytest.warns(UserWarning, match="naive full-forward raster"):
+        imp = pm_vqvae_impute(
+            model, variables, x, b, jax.random.PRNGKey(1), num_samples=1
+        )
+    assert imp.shape == (2, 1, 16, 16, 1)
+
+    # the covered topology must NOT warn
+    model2 = PMVQVAE.from_config(16, VQ_CONFIG, PIXEL_CNN_CONFIG)
+    variables2 = init_all(model2, x, b)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        pm_vqvae_impute(
+            model2, variables2, x, b, jax.random.PRNGKey(1), num_samples=1
+        )
