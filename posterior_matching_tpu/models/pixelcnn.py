@@ -207,6 +207,12 @@ class PixelCNN(nn.Module):
     # True/False = force, "interpret" = Pallas interpreter (CPU tests).
     # Checkpoints are identical either way.
     fused: Optional[Any] = None
+    # Fused gated-PAIR chain (ops/gated_chain.py): the whole 2*num_resnet
+    # block chain runs as one Pallas kernel per resnet level (fwd + custom
+    # VJP), dropout generated in-kernel. None = auto (on TPU unless
+    # PM_TPU_FUSED_CHAIN=0), True/False = force, "interpret" = Pallas
+    # interpreter with injected masks (CPU tests). Checkpoints identical.
+    fused_chain: Optional[Any] = None
 
     @property
     def _cdtype(self):
@@ -235,6 +241,170 @@ class PixelCNN(nn.Module):
         except ValueError:
             return False
         return True
+
+    def _use_fused_chain(self, conditional_input) -> bool:
+        """Whether to run the resnet chain through the gated-pair kernels
+        (ops/gated_chain.py). Requires a flat (no hierarchy) topology and a
+        conditional input (every shipped PM-VQVAE config qualifies)."""
+        import os
+
+        if self.num_hierarchies != 1 or conditional_input is None:
+            return False
+        mode = self.fused_chain
+        if mode is None:
+            # Opt-in while the kernel's on-device behavior is being
+            # validated (same policy the per-block kernel started with).
+            mode = (
+                jax.default_backend() == "tpu"
+                and os.environ.get("PM_TPU_FUSED_CHAIN") == "1"
+            )
+        return bool(mode)
+
+    def _chain_block_params(self, tag, kernel_size, constraint, aux_in,
+                            cond_dim):
+        """Creates one gated block's params with the EXACT names/shapes/inits
+        of the unfused path and returns them packed for the pair kernel:
+        sliced+flattened conv kernels, folded biases, split aux weights."""
+        f = self.num_filters
+        (r0, r1), (c0, c1) = constraint
+        token = jnp.zeros((1, 1, 1, 2 * f))  # channel-count carrier only
+        wa, ba = _MaskedConv(
+            f, kernel_size, *constraint, dtype=self._cdtype,
+            name=f"{tag}_conv_a",
+        )(token, return_weights=True)
+        wb, bb = _MaskedConv(
+            2 * f, kernel_size, *constraint, dtype=self._cdtype,
+            name=f"{tag}_conv_b",
+        )(token, return_weights=True)
+        wc, bc_ = _DenseParams(
+            (cond_dim, 2 * f), nn.initializers.normal(1.0),
+            name=f"{tag}_cond_proj",
+        )()
+        out = {
+            "wa": wa[r0:r1, c0:c1].reshape(-1, f),
+            "wb": wb[r0:r1, c0:c1].reshape(-1, 2 * f),
+            "wc": wc,
+            "ba": ba.reshape(1, f),
+            "bb": (bb + bc_).reshape(1, 2 * f),  # cond bias folds into bb
+        }
+        if aux_in:
+            waux, baux = _DenseParams(
+                (2 * aux_in, f), _trunc_normal_fan_in, name=f"{tag}_aux"
+            )()
+            out["ba"] = out["ba"] + baux.reshape(1, f)  # aux bias folds
+            out["waux"] = waux
+        return out
+
+    def _fused_chain(self, stacks_init, cond, training):
+        """Runs the 2*num_resnet gated-block chain through the pair kernels.
+
+        Equivalent to the unfused up+down loops of ``__call__`` for
+        ``num_hierarchies == 1``: up pairs (vertical; horizontal with the
+        new vertical as aux), then down pairs consuming the up outputs in
+        reverse as skips (reference pixel_cnn.py:372-553 wiring). JAX
+        autodiff routes the pair kernels' dskip cotangents back through
+        the saved up outputs, so the skip gradient plumbing is implicit.
+        """
+        import os
+
+        from posterior_matching_tpu.ops.gated_chain import gated_pair
+
+        f = self.num_filters
+        n = self.num_resnet
+        b = stacks_init["vertical"].shape[0]
+        cond2d = cond.reshape((cond.shape[0], -1))
+        cond_dim = cond2d.shape[-1]
+
+        rows, cols = self.receptive_field_dims
+        ksizes = {
+            "vertical": (2 * rows - 3, cols),
+            "horizontal": (3, cols),
+        }
+        constraints = {
+            "vertical": ((0, rows - 1), (0, cols)),
+            "horizontal": ((0, 2), (0, cols // 2 + 1)),
+        }
+
+        interpret = self.fused_chain == "interpret"
+        keep = 1.0 - self.dropout if (training and self.dropout > 0) else 1.0
+        mask_mode = (
+            "prng"
+            if (jax.default_backend() == "tpu" and not interpret)
+            else "input"
+        )
+        common = dict(
+            keep=keep,
+            compute_dtype=self._cdtype or jnp.float32,
+            bc_fwd=int(os.environ.get("PM_TPU_CHAIN_BC_FWD", "4")),
+            bc_bwd=int(os.environ.get("PM_TPU_CHAIN_BC_BWD", "2")),
+            mask_mode=mask_mode,
+            interpret=interpret,
+            receptive_field_dims=self.receptive_field_dims,
+        )
+
+        if keep < 1.0:
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0,
+                jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+            )
+        else:
+            seed = jnp.zeros((), jnp.int32)
+
+        def masks_for(shape):
+            if keep >= 1.0 or mask_mode != "input":
+                return None
+            mk1, mk2 = jax.random.split(self.make_rng("dropout"))
+            m = lambda k: jax.random.bernoulli(
+                k, keep, (*shape[:-1], 2 * f)
+            ).astype(jnp.float32)
+            return (m(mk1), m(mk2))
+
+        def pack_pair(prefix, p, down):
+            pv = self._chain_block_params(
+                f"{prefix}_0_{p}_vertical", ksizes["vertical"],
+                constraints["vertical"], aux_in=f if down else 0,
+                cond_dim=cond_dim,
+            )
+            ph = self._chain_block_params(
+                f"{prefix}_0_{p}_horizontal", ksizes["horizontal"],
+                constraints["horizontal"], aux_in=2 * f if down else f,
+                cond_dim=cond_dim,
+            )
+            w = {
+                "wav": pv["wa"], "bav": pv["ba"], "wbv": pv["wb"],
+                "bbv": pv["bb"], "wcv": pv["wc"],
+                "wah": ph["wa"], "bah": ph["ba"], "wbh": ph["wb"],
+                "bbh": ph["bb"], "wch": ph["wc"],
+            }
+            if down:
+                w["wxv"] = pv["waux"]
+                # concat_elu(concat(u, s)) layout is [elu u, elu s,
+                # -u, -s]: split the 4F aux Dense into the u/s halves
+                wx = ph["waux"]
+                w["wxh_u"] = jnp.concatenate([wx[:f], wx[2 * f : 3 * f]])
+                w["wxh_s"] = jnp.concatenate([wx[f : 2 * f], wx[3 * f :]])
+            else:
+                w["wxh_u"] = ph["waux"]
+            return w
+
+        xv = stacks_init["vertical"]
+        xh = stacks_init["horizontal"]
+        xs_v, xs_h = [xv], [xh]
+        for p in range(n):
+            xv, xh = gated_pair(
+                xv, xh, None, cond2d, pack_pair("up", p, False), seed, p,
+                masks=masks_for(xv.shape), **common,
+            )
+            xs_v.append(xv)
+            xs_h.append(xh)
+        for p in range(n):
+            skv = xs_v[n - 1 - p]
+            skh = xs_h[n - 1 - p]
+            xv, xh = gated_pair(
+                xv, xh, (skv, skh), cond2d, pack_pair("dn", p, True),
+                seed, n + p, masks=masks_for(xv.shape), **common,
+            )
+        return xh
 
     def _gated_residual(
         self, tag, input_x, aux, cond, kernel_size, constraint, training
@@ -375,6 +545,18 @@ class PixelCNN(nn.Module):
         )(h0)
 
         stacks = {"vertical": [v_init], "horizontal": [h_up + h_left]}
+
+        if self._use_fused_chain(conditional_input):
+            x_final = self._fused_chain(
+                {"vertical": v_init, "horizontal": h_up + h_left},
+                conditional_input, training,
+            )
+            x_out = jax.nn.elu(x_final)
+            logits = nn.Conv(
+                self.num_indices, (1, 1), kernel_init=_trunc_normal_fan_in,
+                name="logits_conv",
+            )(x_out)
+            return logits.astype(jnp.float32)
 
         # -- up (downsampling) pass ----------------------------------------
         for i in range(self.num_hierarchies):

@@ -1,0 +1,726 @@
+"""Pallas gated-PAIR kernels for the PixelCNN training path.
+
+The PM-VQVAE train step's measured profile (datasets/profile_cost_analysis.py,
+2026-08-19, TPU v5e): the compiled grad is **1206 GFLOP** and runs in 13.25 ms
+= 46% of bf16 MXU peak, fragmented by XLA into ~766 fusion kernels with ~2150
+inter-fusion HBM copies (BASELINE.md).  The north star (>= 5x the reference
+implementation, reference train_pm_vqvae.py:81-99) needs the grad at ~9 ms =
+~67% MXU.  Launch overhead and HBM round trips between the ~150 conv ops are
+the recoverable slack — kernel consolidation, not algebraic rewrites.
+
+This module fuses one PixelCNN resnet LEVEL — the vertical gated block plus
+the horizontal gated block that consumes it (reference pixel_cnn.py:451-522;
+our ``PixelCNN._gated_residual``) — into ONE Pallas kernel for the forward
+and ONE for the backward, with
+
+- the batch processed in row chunks (grid over chunks) so every intermediate
+  of both blocks lives in VMEM, with per-tap MXU matmuls (a sliced masked
+  conv is 4-6 shifted [rows, 2F] x [2F, Fout] matmuls — the same math as
+  models/pixelcnn.py::_MaskedConv, checkpoint ABI untouched);
+- dropout masks generated IN-KERNEL from the TPU PRNG (pltpu.prng_*), seeded
+  per (step, block, image) so the backward regenerates bit-identical masks
+  instead of streaming [B, HW, 2F] masks through HBM (threefry/rbg dropout
+  was ~25% of the step, BASELINE.md).  The PRNG primitives have no
+  interpret-mode lowering in this JAX version, so CPU tests inject masks via
+  ``mask_mode='input'`` (same kernel body, masks as inputs);
+- a hand-written VJP: saves are the block inputs and the two conv outputs
+  (a1, b1) in compute dtype; everything else (concat_elu, dropout, gating)
+  is recomputed on the VPU in the backward kernel; weight gradients
+  accumulate across the sequential chunk grid in f32 output blocks.
+
+Two variants cover the whole 24-level chain of a ``num_hierarchies == 1``
+network:
+
+- ``up`` pairs: vertical (no aux) + horizontal (aux = new vertical);
+- ``down`` pairs: vertical (aux = skip) + horizontal (aux = new vertical +
+  skip), with the 4F-input aux Dense split at pack time into two [2F, F]
+  halves (concat_elu(concat(u, s)) @ W == concat_elu(u) @ W_u +
+  concat_elu(s) @ W_s for the right row permutation of W), so every aux
+  contribution is the uniform ``concat_elu(x) @ [2F, F]`` shape.
+
+The chain composition (24 pair calls + skip wiring) lives in
+``models/pixelcnn.py``; JAX autodiff routes the dskip cotangents returned
+here back through the up-pass saves, so no manual gradient plumbing exists
+outside the kernels.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from posterior_matching_tpu.ops.gated_block import (
+    TapPlan,
+    _concat_elu,
+    _concat_elu_bwd,
+    _dot,
+    _dot_t,
+    plan_taps,
+)
+
+f32 = jnp.float32
+
+
+class PairConfig(NamedTuple):
+    """Static geometry/config of one gated pair (hashable: lru_cache key)."""
+
+    h: int
+    w: int
+    f: int
+    cond_dim: int
+    taps_v: TapPlan
+    taps_h: TapPlan
+    keep: float          # dropout keep prob; 1.0 = no dropout (eval)
+    cdtype: str          # compute dtype name ("float32" / "bfloat16")
+    bc_fwd: int          # images per forward chunk
+    bc_bwd: int          # images per backward chunk
+    mask_mode: str       # "prng" (TPU) | "input" (tests / CPU interpret)
+    interpret: bool
+
+
+def _taps(tp: TapPlan):
+    return [(i, j) for i in range(tp.skh) for j in range(tp.skw)]
+
+
+def _pad_hw(x4, pt, pb, pl_, pr_):
+    """Zero-pad dims 1 (H) and 2 (W) of [bc, h, w, c] via concatenate —
+    per-image padding without lax.pad (keeps the Mosaic lowering simple)."""
+    bc, h, w, c = x4.shape
+    dt = x4.dtype
+    if pl_ or pr_:
+        parts = []
+        if pl_:
+            parts.append(jnp.zeros((bc, h, pl_, c), dt))
+        parts.append(x4)
+        if pr_:
+            parts.append(jnp.zeros((bc, h, pr_, c), dt))
+        x4 = jnp.concatenate(parts, axis=2)
+        w = w + pl_ + pr_
+    if pt or pb:
+        parts = []
+        if pt:
+            parts.append(jnp.zeros((bc, pt, w, c), dt))
+        parts.append(x4)
+        if pb:
+            parts.append(jnp.zeros((bc, pb, w, c), dt))
+        x4 = jnp.concatenate(parts, axis=1)
+    return x4
+
+
+def _conv_fwd(x2, w_ref, tp: TapPlan, bc, h, w, cin, cout, cdtype):
+    """Sliced masked conv as per-tap matmuls: [rows, cin] -> [rows, cout] f32.
+
+    ``w_ref`` is the flattened [T*cin, cout] kernel (tap-major, the same
+    row-major order as ``wa.reshape(-1, cout)`` of the sliced [skh, skw,
+    cin, cout] kernel)."""
+    rows = bc * h * w
+    x4 = x2.reshape(bc, h, w, cin)
+    padded = _pad_hw(
+        x4, tp.pad_top, tp.skh - 1 - tp.pad_top,
+        tp.pad_left, tp.skw - 1 - tp.pad_left,
+    )
+    acc = None
+    for t, (i, j) in enumerate(_taps(tp)):
+        sh = padded[:, i : i + h, j : j + w, :].reshape(rows, cin)
+        wt = w_ref[t * cin : (t + 1) * cin, :].astype(cdtype)
+        d = _dot(sh, wt)
+        acc = d if acc is None else acc + d
+    return acc
+
+
+def _conv_bwd_input(db, w_ref, tp: TapPlan, bc, h, w, cin, cout, cdtype):
+    """Adjoint of :func:`_conv_fwd` w.r.t. the input: [rows, cout] ->
+    [rows, cin] f32.  Overlap accumulation via padded adds (no scatter)."""
+    rows = bc * h * w
+    total = None
+    for t, (i, j) in enumerate(_taps(tp)):
+        wt = w_ref[t * cin : (t + 1) * cin, :].astype(cdtype)
+        contrib = _dot(db, wt.T).reshape(bc, h, w, cin)
+        padded = _pad_hw(contrib, i, tp.skh - 1 - i, j, tp.skw - 1 - j)
+        total = padded if total is None else total + padded
+    return total[
+        :, tp.pad_top : tp.pad_top + h, tp.pad_left : tp.pad_left + w, :
+    ].reshape(rows, cin)
+
+
+def _conv_bwd_weights(x2, db, dw_ref, tp: TapPlan, bc, h, w, cin, cdtype):
+    """Accumulates dW (+=) into the [T*cin, cout] f32 ref: per tap,
+    shift(x)^T @ db."""
+    rows = bc * h * w
+    x4 = x2.reshape(bc, h, w, cin)
+    padded = _pad_hw(
+        x4, tp.pad_top, tp.skh - 1 - tp.pad_top,
+        tp.pad_left, tp.skw - 1 - tp.pad_left,
+    )
+    for t, (i, j) in enumerate(_taps(tp)):
+        sh = padded[:, i : i + h, j : j + w, :].reshape(rows, cin)
+        dw_ref[t * cin : (t + 1) * cin, :] += _dot_t(sh, db)
+
+
+def _block_fwd(
+    cfg: PairConfig, tp: TapPlan, bc, x, aux_list, proj, mask,
+    wa_ref, ba_ref, wb_ref, bb_ref,
+):
+    """One gated block forward on values. Returns (x_new, a1_save, b1_save).
+
+    aux_list: [(aux_value [rows, F] cdtype, wx_ref [2F, F])] — each
+    contributes concat_elu(aux) @ wx to a1.
+    proj: [bc, 2F] f32 conditional projection (broadcast over positions).
+    mask: [rows, 2F] f32 0/1 dropout keep mask (or None when keep == 1).
+    """
+    h, w, f = cfg.h, cfg.w, cfg.f
+    rows = bc * h * w
+    cdtype = jnp.dtype(cfg.cdtype)
+
+    ce1 = _concat_elu(x).astype(cdtype)                     # [rows, 2F]
+    a1 = _conv_fwd(ce1, wa_ref, tp, bc, h, w, 2 * f, f, cdtype)
+    for aux, wx_ref in aux_list:
+        a1 = a1 + _dot(_concat_elu(aux).astype(cdtype), wx_ref[:].astype(cdtype))
+    a1 = a1 + ba_ref[:].astype(f32)          # [1, F] broadcasts over rows
+    a1s = a1.astype(cdtype)
+
+    ce2 = _concat_elu(a1s)                                  # f32 [rows, 2F]
+    if mask is not None:
+        ce2 = ce2 * mask * (1.0 / cfg.keep)
+    d = ce2.astype(cdtype)
+
+    b1 = _conv_fwd(d, wb_ref, tp, bc, h, w, 2 * f, 2 * f, cdtype)
+    b1 = b1 + bb_ref[:].astype(f32)
+    b1 = b1 + jnp.broadcast_to(
+        proj[:, None, :], (bc, h * w, 2 * f)
+    ).reshape(rows, 2 * f)
+    b1s = b1.astype(cdtype)
+
+    act = b1s[:, :f].astype(f32)
+    gate = b1s[:, f:].astype(f32)
+    x_new = (x.astype(f32) + jax.nn.sigmoid(gate) * act).astype(cdtype)
+    return x_new, a1s, b1s
+
+
+def _block_bwd(
+    cfg: PairConfig, tp: TapPlan, bc, g, x, aux_list, mask,
+    a1s, b1s, wa_ref, wb_ref, dwa_ref, dba_ref, dwb_ref, dbb_ref,
+):
+    """One gated block backward on values.
+
+    g: [rows, F] f32 cotangent of the block OUTPUT (all contributions
+    already summed).  aux_list: [(aux_value, wx_ref, dwx_ref)].
+    Returns (dx f32 [rows, F], [daux f32 [rows, F] per aux],
+    db1 f32 [rows, 2F] — for the caller's cond grads).
+    """
+    h, w, f = cfg.h, cfg.w, cfg.f
+    cdtype = jnp.dtype(cfg.cdtype)
+
+    b1 = b1s.astype(f32)
+    act, gate = b1[:, :f], b1[:, f:]
+    sg = jax.nn.sigmoid(gate)
+    dact = g * sg
+    dgate = g * act * sg * (1.0 - sg)
+    db1 = jnp.concatenate([dact, dgate], axis=1)            # f32 [rows, 2F]
+    db1c = db1.astype(cdtype)
+    dbb_ref[:] += jnp.sum(db1, axis=0, keepdims=True)
+
+    # conv_b: recompute d from a1 + mask
+    ce2 = _concat_elu(a1s)
+    if mask is not None:
+        ce2 = ce2 * mask * (1.0 / cfg.keep)
+    d = ce2.astype(cdtype)
+    _conv_bwd_weights(d, db1c, dwb_ref, tp, bc, h, w, 2 * f, cdtype)
+    dd = _conv_bwd_input(db1c, wb_ref, tp, bc, h, w, 2 * f, 2 * f, cdtype)
+    if mask is not None:
+        dd = dd * mask * (1.0 / cfg.keep)
+    da1 = _concat_elu_bwd(a1s, dd)                          # f32 [rows, F]
+    da1c = da1.astype(cdtype)
+    dba_ref[:] += jnp.sum(da1, axis=0, keepdims=True)
+
+    dauxes = []
+    for aux, wx_ref, dwx_ref in aux_list:
+        ce_aux = _concat_elu(aux).astype(cdtype)
+        dwx_ref[:] += _dot_t(ce_aux, da1c)
+        dce_aux = _dot(da1c, wx_ref[:].astype(cdtype).T)
+        dauxes.append(_concat_elu_bwd(aux, dce_aux))        # f32 [rows, F]
+
+    ce1 = _concat_elu(x).astype(cdtype)
+    _conv_bwd_weights(ce1, da1c, dwa_ref, tp, bc, h, w, 2 * f, cdtype)
+    dce1 = _conv_bwd_input(da1c, wa_ref, tp, bc, h, w, 2 * f, f, cdtype)
+    dx = g + _concat_elu_bwd(x, dce1)
+    return dx, dauxes, db1
+
+
+def _proj(cond_ref, wc_ref, cdtype):
+    """[bc, cond_dim] x [cond_dim, 2F] -> [bc, 2F] f32 (bias folded into bb
+    at pack time)."""
+    return _dot(cond_ref[:].astype(cdtype), wc_ref[:].astype(cdtype))
+
+
+def _masks_for_chunk(cfg: PairConfig, bc, meta_ref, sub_block):
+    """In-kernel per-image dropout masks for the current chunk.
+
+    Seeded (step_seed, block_id, global_image) PER IMAGE so the realized
+    bits are independent of the chunk size — forward (bc_fwd) and backward
+    (bc_bwd) regenerate identical masks.  block_id = 2*pair_index +
+    sub_block disambiguates the vertical/horizontal draws."""
+    hw = cfg.h * cfg.w
+    thresh = np.uint32(min(int(cfg.keep * (2.0 ** 32)), 2 ** 32 - 1))
+    parts = []
+    for im in range(bc):
+        pltpu.prng_seed(
+            meta_ref[0],
+            meta_ref[1] * 2 + sub_block,
+            pl.program_id(0) * bc + im,
+        )
+        parts.append(pltpu.prng_random_bits((hw, 2 * cfg.f)))
+    bits = parts[0] if bc == 1 else jnp.concatenate(parts, axis=0)
+    return (bits < thresh).astype(f32)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_factory(cfg: PairConfig, down: bool):
+    bc = cfg.bc_fwd
+    cdtype = jnp.dtype(cfg.cdtype)
+    use_mask = cfg.keep < 1.0
+
+    def kernel(*refs):
+        it = iter(refs)
+        meta_ref = next(it)
+        xv_ref, xh_ref = next(it), next(it)
+        if down:
+            skv_ref, skh_ref = next(it), next(it)
+        cond_ref = next(it)
+        wav, bav, wbv, bbv, wcv = (next(it) for _ in range(5))
+        if down:
+            wxv = next(it)
+        wah, bah, wbh, bbh, wch = (next(it) for _ in range(5))
+        wxh_u = next(it)
+        if down:
+            wxh_s = next(it)
+        if use_mask and cfg.mask_mode == "input":
+            mv_ref, mh_ref = next(it), next(it)
+        xvo, xho, a1v_ref, a1h_ref, b1v_ref, b1h_ref = (
+            next(it) for _ in range(6)
+        )
+
+        if use_mask:
+            if cfg.mask_mode == "input":
+                mv = mv_ref[:].astype(f32)
+                mh = mh_ref[:].astype(f32)
+            else:
+                mv = _masks_for_chunk(cfg, bc, meta_ref, 0)
+                mh = _masks_for_chunk(cfg, bc, meta_ref, 1)
+        else:
+            mv = mh = None
+
+        xv = xv_ref[:]
+        aux_v = [(skv_ref[:], wxv)] if down else []
+        xv_new, a1v, b1v = _block_fwd(
+            cfg, cfg.taps_v, bc, xv, aux_v, _proj(cond_ref, wcv, cdtype),
+            mv, wav, bav, wbv, bbv,
+        )
+        xvo[:] = xv_new
+        a1v_ref[:] = a1v
+        b1v_ref[:] = b1v
+
+        aux_h = [(xv_new, wxh_u)]
+        if down:
+            aux_h.append((skh_ref[:], wxh_s))
+        xh_new, a1h, b1h = _block_fwd(
+            cfg, cfg.taps_h, bc, xh_ref[:], aux_h,
+            _proj(cond_ref, wch, cdtype), mh, wah, bah, wbh, bbh,
+        )
+        xho[:] = xh_new
+        a1h_ref[:] = a1h
+        b1h_ref[:] = b1h
+
+    return kernel
+
+
+def _bwd_kernel_factory(cfg: PairConfig, down: bool):
+    bc = cfg.bc_bwd
+    cdtype = jnp.dtype(cfg.cdtype)
+    use_mask = cfg.keep < 1.0
+    hw = cfg.h * cfg.w
+    f = cfg.f
+
+    def kernel(*refs):
+        it = iter(refs)
+        meta_ref = next(it)
+        gv_ref, gh_ref = next(it), next(it)
+        xv_ref, xh_ref = next(it), next(it)
+        if down:
+            skv_ref, skh_ref = next(it), next(it)
+        xvn_ref = next(it)                     # x_v AFTER the v block
+        cond_ref = next(it)
+        a1v_ref, a1h_ref, b1v_ref, b1h_ref = (next(it) for _ in range(4))
+        wav, wbv, wcv = (next(it) for _ in range(3))
+        if down:
+            wxv = next(it)
+        wah, wbh, wch = (next(it) for _ in range(3))
+        wxh_u = next(it)
+        if down:
+            wxh_s = next(it)
+        if use_mask and cfg.mask_mode == "input":
+            mv_ref, mh_ref = next(it), next(it)
+
+        dgv_ref, dgh_ref = next(it), next(it)
+        if down:
+            dskv_ref, dskh_ref = next(it), next(it)
+        dcond_ref = next(it)
+        dwav, dbav, dwbv, dbbv, dwcv = (next(it) for _ in range(5))
+        if down:
+            dwxv = next(it)
+        dwah, dbah, dwbh, dbbh, dwch = (next(it) for _ in range(5))
+        dwxh_u = next(it)
+        if down:
+            dwxh_s = next(it)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for r in (dwav, dbav, dwbv, dbbv, dwcv, dwah, dbah, dwbh,
+                      dbbh, dwch, dwxh_u):
+                r[:] = jnp.zeros_like(r)
+            if down:
+                dwxv[:] = jnp.zeros_like(dwxv)
+                dwxh_s[:] = jnp.zeros_like(dwxh_s)
+
+        if use_mask:
+            if cfg.mask_mode == "input":
+                mv = mv_ref[:].astype(f32)
+                mh = mh_ref[:].astype(f32)
+            else:
+                mv = _masks_for_chunk(cfg, bc, meta_ref, 0)
+                mh = _masks_for_chunk(cfg, bc, meta_ref, 1)
+        else:
+            mv = mh = None
+
+        cond = cond_ref[:].astype(cdtype)
+        xv_new = xvn_ref[:]
+
+        # ---- horizontal block backward -----------------------------------
+        aux_h = [(xv_new, wxh_u, dwxh_u)]
+        if down:
+            aux_h.append((skh_ref[:], wxh_s, dwxh_s))
+        dxh, dauxes_h, db1h = _block_bwd(
+            cfg, cfg.taps_h, bc, gh_ref[:].astype(f32), xh_ref[:], aux_h,
+            mh, a1h_ref[:], b1h_ref[:], wah, wbh, dwah, dbah, dwbh, dbbh,
+        )
+        rs_h = db1h.reshape(bc, hw, 2 * f).sum(axis=1)      # [bc, 2F] f32
+        dwch[:] += _dot_t(cond, rs_h.astype(cdtype))
+        dgh_ref[:] = dxh.astype(dgh_ref.dtype)
+        if down:
+            dskh_ref[:] = dauxes_h[1].astype(dskh_ref.dtype)
+
+        # ---- vertical block backward -------------------------------------
+        gv_total = gv_ref[:].astype(f32) + dauxes_h[0]
+        aux_v = [(skv_ref[:], wxv, dwxv)] if down else []
+        dxv, dauxes_v, db1v = _block_bwd(
+            cfg, cfg.taps_v, bc, gv_total, xv_ref[:], aux_v,
+            mv, a1v_ref[:], b1v_ref[:], wav, wbv, dwav, dbav, dwbv, dbbv,
+        )
+        rs_v = db1v.reshape(bc, hw, 2 * f).sum(axis=1)
+        dwcv[:] += _dot_t(cond, rs_v.astype(cdtype))
+        dgv_ref[:] = dxv.astype(dgv_ref.dtype)
+        if down:
+            dskv_ref[:] = dauxes_v[0].astype(dskv_ref.dtype)
+
+        dcond = _dot(rs_v.astype(cdtype), wcv[:].astype(cdtype).T) + _dot(
+            rs_h.astype(cdtype), wch[:].astype(cdtype).T
+        )
+        dcond_ref[:] = dcond.astype(dcond_ref.dtype)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# pallas_call builders + custom_vjp
+# ---------------------------------------------------------------------------
+
+
+def _weight_shapes(cfg: PairConfig, down: bool):
+    """(name, (rows, cols)) for the packed pair weights, in argument order."""
+    f, cd = cfg.f, cfg.cond_dim
+    tv = cfg.taps_v.skh * cfg.taps_v.skw
+    th = cfg.taps_h.skh * cfg.taps_h.skw
+    shapes = [
+        ("wav", (tv * 2 * f, f)), ("bav", (1, f)),
+        ("wbv", (tv * 2 * f, 2 * f)), ("bbv", (1, 2 * f)),
+        ("wcv", (cd, 2 * f)),
+    ]
+    if down:
+        shapes.append(("wxv", (2 * f, f)))
+    shapes += [
+        ("wah", (th * 2 * f, f)), ("bah", (1, f)),
+        ("wbh", (th * 2 * f, 2 * f)), ("bbh", (1, 2 * f)),
+        ("wch", (cd, 2 * f)),
+        ("wxh_u", (2 * f, f)),
+    ]
+    if down:
+        shapes.append(("wxh_s", (2 * f, f)))
+    return shapes
+
+
+@functools.lru_cache(maxsize=32)
+def _build_pair(cfg: PairConfig, down: bool, batch: int):
+    """Builds the custom_vjp'd pair function for one static configuration.
+
+    Returned callable signature (all arrays):
+        fn(meta, xv, xh, [skv, skh,] cond, *weights [, mv, mh])
+        -> (xv_new, xh_new)
+    meta: [2] int32 = (step_seed, pair_index).  Activations are
+    [batch, H*W, F] in compute dtype; weights as in :func:`_weight_shapes`;
+    masks (input mode, keep < 1) are [batch, H*W, 2F].
+    """
+    h, w, f, cd = cfg.h, cfg.w, cfg.f, cfg.cond_dim
+    hw = h * w
+    cdtype = jnp.dtype(cfg.cdtype)
+    use_mask_inputs = cfg.keep < 1.0 and cfg.mask_mode == "input"
+    wshapes = _weight_shapes(cfg, down)
+    n_act_in = 4 if down else 2          # xv, xh [, skv, skh]
+
+    if batch % cfg.bc_fwd or batch % cfg.bc_bwd:
+        raise ValueError(
+            f"batch {batch} not divisible by chunk sizes "
+            f"({cfg.bc_fwd}, {cfg.bc_bwd})"
+        )
+
+    def act_spec(bc, cols):
+        return pl.BlockSpec((bc * hw, cols), lambda i: (i, 0))
+
+    def chunk_spec(bc, cols):
+        return pl.BlockSpec((bc, cols), lambda i: (i, 0))
+
+    def full_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0))
+
+    def _flat_act(x):
+        # [batch, hw, c] -> [batch*hw, c]: the kernels address flat rows
+        return x.reshape(batch * hw, x.shape[-1])
+
+    # ---- forward ----------------------------------------------------------
+    fwd_kernel = _fwd_kernel_factory(cfg, down)
+    n_chunks_f = batch // cfg.bc_fwd
+
+    def fwd_call(meta, acts, cond, weights, masks):
+        bc = cfg.bc_fwd
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        args = [meta]
+        for a in acts:
+            in_specs.append(act_spec(bc, f))
+            args.append(_flat_act(a))
+        in_specs.append(chunk_spec(bc, cd))
+        args.append(cond)
+        for (_, shp), wt in zip(wshapes, weights):
+            in_specs.append(full_spec(shp))
+            args.append(wt)
+        if use_mask_inputs:
+            for m in masks:
+                in_specs.append(act_spec(bc, 2 * f))
+                args.append(_flat_act(m))
+
+        out_specs = [
+            act_spec(bc, f), act_spec(bc, f),           # xv', xh'
+            act_spec(bc, f), act_spec(bc, f),           # a1v, a1h
+            act_spec(bc, 2 * f), act_spec(bc, 2 * f),   # b1v, b1h
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((batch * hw, f), cdtype),
+            jax.ShapeDtypeStruct((batch * hw, f), cdtype),
+            jax.ShapeDtypeStruct((batch * hw, f), cdtype),
+            jax.ShapeDtypeStruct((batch * hw, f), cdtype),
+            jax.ShapeDtypeStruct((batch * hw, 2 * f), cdtype),
+            jax.ShapeDtypeStruct((batch * hw, 2 * f), cdtype),
+        ]
+        outs = pl.pallas_call(
+            fwd_kernel,
+            grid=(n_chunks_f,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=cfg.interpret,
+        )(*args)
+        return outs
+
+    # ---- backward ---------------------------------------------------------
+    bwd_kernel = _bwd_kernel_factory(cfg, down)
+    n_chunks_b = batch // cfg.bc_bwd
+
+    def bwd_call(meta, gv, gh, acts, xvn, cond, saves, weights, masks):
+        bc = cfg.bc_bwd
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        args = [meta]
+        for a in (gv, gh):
+            in_specs.append(act_spec(bc, f))
+            args.append(a)
+        for a in acts:                                   # xv, xh [,skv,skh]
+            in_specs.append(act_spec(bc, f))
+            args.append(_flat_act(a))
+        in_specs.append(act_spec(bc, f))
+        args.append(xvn)                                 # already flat
+        in_specs.append(chunk_spec(bc, cd))
+        args.append(cond)
+        for s in saves[:2]:                              # a1v, a1h
+            in_specs.append(act_spec(bc, f))
+            args.append(s)
+        for s in saves[2:]:                              # b1v, b1h
+            in_specs.append(act_spec(bc, 2 * f))
+            args.append(s)
+        bwd_wnames = [n for n, _ in wshapes if not n.startswith("b")]
+        wmap = dict(zip([n for n, _ in wshapes], weights))
+        shp = dict(wshapes)
+        for n in bwd_wnames:
+            in_specs.append(full_spec(shp[n]))
+            args.append(wmap[n])
+        if use_mask_inputs:
+            for m in masks:
+                in_specs.append(act_spec(bc, 2 * f))
+                args.append(_flat_act(m))
+
+        out_specs = [act_spec(bc, f), act_spec(bc, f)]   # dgv, dgh
+        out_shape = [
+            jax.ShapeDtypeStruct((batch * hw, f), cdtype),
+            jax.ShapeDtypeStruct((batch * hw, f), cdtype),
+        ]
+        if down:
+            out_specs += [act_spec(bc, f), act_spec(bc, f)]
+            out_shape += [
+                jax.ShapeDtypeStruct((batch * hw, f), cdtype),
+                jax.ShapeDtypeStruct((batch * hw, f), cdtype),
+            ]
+        out_specs.append(chunk_spec(bc, cd))             # dcond
+        out_shape.append(jax.ShapeDtypeStruct((batch, cd), f32))
+        for n, s in wshapes:                             # ALL weight grads
+            out_specs.append(full_spec(s))
+            out_shape.append(jax.ShapeDtypeStruct(s, f32))
+
+        return pl.pallas_call(
+            bwd_kernel,
+            grid=(n_chunks_b,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=cfg.interpret,
+        )(*args)
+
+    # ---- custom_vjp -------------------------------------------------------
+    n_w = len(wshapes)
+    n_m = 2 if use_mask_inputs else 0
+
+    def _split(flat):
+        acts = flat[:n_act_in]
+        cond = flat[n_act_in]
+        weights = flat[n_act_in + 1 : n_act_in + 1 + n_w]
+        masks = flat[n_act_in + 1 + n_w :]
+        return acts, cond, weights, masks
+
+    @jax.custom_vjp
+    def pair(meta, *flat):
+        acts, cond, weights, masks = _split(flat)
+        outs = fwd_call(meta, acts, cond, weights, masks)
+        return outs[0].reshape(batch, hw, f), outs[1].reshape(batch, hw, f)
+
+    def pair_fwd(meta, *flat):
+        acts, cond, weights, masks = _split(flat)
+        xvn, xhn, a1v, a1h, b1v, b1h = fwd_call(
+            meta, acts, cond, weights, masks
+        )
+        res = (meta, acts, xvn, cond, (a1v, a1h, b1v, b1h), weights, masks)
+        return (
+            xvn.reshape(batch, hw, f), xhn.reshape(batch, hw, f)
+        ), res
+
+    def pair_bwd(res, g):
+        meta, acts, xvn, cond, saves, weights, masks = res
+        gv, gh = g
+        outs = bwd_call(
+            meta, _flat_act(gv).astype(cdtype), _flat_act(gh).astype(cdtype),
+            acts, xvn, cond, saves, weights, masks,
+        )
+        it = iter(outs)
+        dgv = next(it).reshape(batch, hw, f)
+        dgh = next(it).reshape(batch, hw, f)
+        grads = [dgv, dgh]
+        if down:
+            grads.append(next(it).reshape(batch, hw, f))  # dskv
+            grads.append(next(it).reshape(batch, hw, f))  # dskh
+        dcond = next(it)
+        grads.append(dcond)
+        for n, _ in wshapes:
+            grads.append(next(it))
+        for m in masks:
+            grads.append(jnp.zeros_like(m))
+        dmeta = np.zeros((2,), jax.dtypes.float0)
+        return (dmeta, *grads)
+
+    pair.defvjp(pair_fwd, pair_bwd)
+    return pair
+
+
+def gated_pair(
+    xv: jnp.ndarray,
+    xh: jnp.ndarray,
+    skips,                        # None (up) or (skv, skh) (down)
+    cond: jnp.ndarray,
+    weights: dict,
+    seed: jnp.ndarray,            # [] or [1] int32 step seed
+    pair_index: int,
+    *,
+    keep: float,
+    compute_dtype=jnp.float32,
+    bc_fwd: int = 4,
+    bc_bwd: int = 2,
+    mask_mode: str = "prng",
+    masks=None,                   # (mv, mh) [B, H, W, 2F] when mask_mode=input
+    interpret: bool = False,
+    receptive_field_dims: Tuple[int, int] = (3, 3),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One fused gated pair (vertical + dependent horizontal block).
+
+    Activations x/skips are [B, H, W, F]; cond is [B, cond_dim]; weights is a
+    dict matching :func:`_weight_shapes` names with conv kernels PRE-SLICED
+    and flattened to [T*2F, out] and biases [1, out] (aux/cond bias already
+    folded).  Returns the pair's (new_vertical, new_horizontal), each
+    [B, H, W, F].
+    """
+    b, h, w, f = xv.shape
+    rows_, cols_ = receptive_field_dims
+    taps_v = plan_taps((2 * rows_ - 3, cols_), (0, rows_ - 1), (0, cols_))
+    taps_h = plan_taps((3, cols_), (0, 2), (0, cols_ // 2 + 1))
+    down = skips is not None
+    cfg = PairConfig(
+        h=h, w=w, f=f, cond_dim=cond.shape[-1],
+        taps_v=taps_v, taps_h=taps_h, keep=float(keep),
+        cdtype=jnp.dtype(compute_dtype).name,
+        bc_fwd=min(bc_fwd, b), bc_bwd=min(bc_bwd, b),
+        mask_mode=mask_mode, interpret=interpret,
+    )
+    pair = _build_pair(cfg, down, b)
+
+    cdtype = jnp.dtype(compute_dtype)
+    meta = jnp.stack(
+        [jnp.asarray(seed, jnp.int32).reshape(()),
+         jnp.asarray(pair_index, jnp.int32)]
+    )
+    to3 = lambda t: t.reshape(b, h * w, t.shape[-1]).astype(cdtype)
+    flat = [to3(xv), to3(xh)]
+    if down:
+        flat += [to3(skips[0]), to3(skips[1])]
+    flat.append(cond.astype(cdtype))
+    for name, shp in _weight_shapes(cfg, down):
+        wt = weights[name]
+        if wt.shape != shp:
+            raise ValueError(f"{name}: expected {shp}, got {wt.shape}")
+        flat.append(wt.astype(f32) if name.startswith("b") else wt.astype(cdtype))
+    if cfg.keep < 1.0 and mask_mode == "input":
+        flat += [to3(masks[0]), to3(masks[1])]
+
+    xvn, xhn = pair(meta, *flat)
+    back = lambda t: t.reshape(b, h, w, f)
+    return back(xvn), back(xhn)
