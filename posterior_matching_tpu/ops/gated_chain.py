@@ -252,10 +252,10 @@ def _block_bwd(
     return dx, dauxes, db1
 
 
-def _proj(cond_ref, wc_ref, cdtype):
+def _proj(cond, wc_ref, cdtype):
     """[bc, cond_dim] x [cond_dim, 2F] -> [bc, 2F] f32 (bias folded into bb
     at pack time)."""
-    return _dot(cond_ref[:].astype(cdtype), wc_ref[:].astype(cdtype))
+    return _dot(cond.astype(cdtype), wc_ref[:].astype(cdtype))
 
 
 def _masks_for_chunk(cfg: PairConfig, bc, meta_ref, sub_block):
@@ -319,10 +319,14 @@ def _fwd_kernel_factory(cfg: PairConfig, down: bool):
         else:
             mv = mh = None
 
+        # cond rides as [bc, 1, cd] — Mosaic constrains only the LAST TWO
+        # block dims (sublane x lane), so the grid-chunked batch axis must
+        # lead and the (1, cd) tail must equal the array's.
+        cond2d = cond_ref[:].reshape(bc, cfg.cond_dim)
         xv = xv_ref[:]
         aux_v = [(skv_ref[:], wxv)] if down else []
         xv_new, a1v, b1v = _block_fwd(
-            cfg, cfg.taps_v, bc, xv, aux_v, _proj(cond_ref, wcv, cdtype),
+            cfg, cfg.taps_v, bc, xv, aux_v, _proj(cond2d, wcv, cdtype),
             mv, wav, bav, wbv, bbv,
         )
         xvo[:] = xv_new
@@ -334,7 +338,7 @@ def _fwd_kernel_factory(cfg: PairConfig, down: bool):
             aux_h.append((skh_ref[:], wxh_s))
         xh_new, a1h, b1h = _block_fwd(
             cfg, cfg.taps_h, bc, xh_ref[:], aux_h,
-            _proj(cond_ref, wch, cdtype), mh, wah, bah, wbh, bbh,
+            _proj(cond2d, wch, cdtype), mh, wah, bah, wbh, bbh,
         )
         xho[:] = xh_new
         a1h_ref[:] = a1h
@@ -401,7 +405,7 @@ def _bwd_kernel_factory(cfg: PairConfig, down: bool):
         else:
             mv = mh = None
 
-        cond = cond_ref[:].astype(cdtype)
+        cond = cond_ref[:].reshape(bc, cfg.cond_dim).astype(cdtype)
         xv_new = xvn_ref[:]
 
         # ---- horizontal block backward -----------------------------------
@@ -434,7 +438,9 @@ def _bwd_kernel_factory(cfg: PairConfig, down: bool):
         dcond = _dot(rs_v.astype(cdtype), wcv[:].astype(cdtype).T) + _dot(
             rs_h.astype(cdtype), wch[:].astype(cdtype).T
         )
-        dcond_ref[:] = dcond.astype(dcond_ref.dtype)
+        dcond_ref[:] = dcond.reshape(bc, 1, cfg.cond_dim).astype(
+            dcond_ref.dtype
+        )
 
     return kernel
 
@@ -494,8 +500,11 @@ def _build_pair(cfg: PairConfig, down: bool, batch: int):
     def act_spec(bc, cols):
         return pl.BlockSpec((bc * hw, cols), lambda i: (i, 0))
 
-    def chunk_spec(bc, cols):
-        return pl.BlockSpec((bc, cols), lambda i: (i, 0))
+    def cond_spec(bc):
+        # [batch, 1, cd] with the batch axis leading: Mosaic's tiling rule
+        # constrains only the last two block dims, and (1, cd) equals the
+        # array's tail, so any bc (even < 8) is legal.
+        return pl.BlockSpec((bc, 1, cd), lambda i: (i, 0, 0))
 
     def full_spec(shape):
         return pl.BlockSpec(shape, lambda i: (0, 0))
@@ -515,8 +524,8 @@ def _build_pair(cfg: PairConfig, down: bool, batch: int):
         for a in acts:
             in_specs.append(act_spec(bc, f))
             args.append(_flat_act(a))
-        in_specs.append(chunk_spec(bc, cd))
-        args.append(cond)
+        in_specs.append(cond_spec(bc))
+        args.append(cond.reshape(batch, 1, cd))
         for (_, shp), wt in zip(wshapes, weights):
             in_specs.append(full_spec(shp))
             args.append(wt)
@@ -564,8 +573,8 @@ def _build_pair(cfg: PairConfig, down: bool, batch: int):
             args.append(_flat_act(a))
         in_specs.append(act_spec(bc, f))
         args.append(xvn)                                 # already flat
-        in_specs.append(chunk_spec(bc, cd))
-        args.append(cond)
+        in_specs.append(cond_spec(bc))
+        args.append(cond.reshape(batch, 1, cd))
         for s in saves[:2]:                              # a1v, a1h
             in_specs.append(act_spec(bc, f))
             args.append(s)
@@ -594,8 +603,8 @@ def _build_pair(cfg: PairConfig, down: bool, batch: int):
                 jax.ShapeDtypeStruct((batch * hw, f), cdtype),
                 jax.ShapeDtypeStruct((batch * hw, f), cdtype),
             ]
-        out_specs.append(chunk_spec(bc, cd))             # dcond
-        out_shape.append(jax.ShapeDtypeStruct((batch, cd), f32))
+        out_specs.append(cond_spec(bc))                  # dcond
+        out_shape.append(jax.ShapeDtypeStruct((batch, 1, cd), f32))
         for n, s in wshapes:                             # ALL weight grads
             out_specs.append(full_spec(s))
             out_shape.append(jax.ShapeDtypeStruct(s, f32))
@@ -650,7 +659,7 @@ def _build_pair(cfg: PairConfig, down: bool, batch: int):
         if down:
             grads.append(next(it).reshape(batch, hw, f))  # dskv
             grads.append(next(it).reshape(batch, hw, f))  # dskh
-        dcond = next(it)
+        dcond = next(it).reshape(batch, cd)
         grads.append(dcond)
         for n, _ in wshapes:
             grads.append(next(it))

@@ -46,22 +46,12 @@ config_flags.DEFINE_config_file("config", lock_config=False)
 define_resume_flag()
 
 
-def main(_):
-    config = flags.FLAGS.config
-
-    config.seed = resolve_seed(config)
-
-    config.lock()
-
-    train_dataset, val_dataset = load_datasets(config.data)
-    if config.get("device_resident_data", False):
-        # HBM-resident training data + on-device batch gather; pair
-        # with config.steps_per_call to remove the host input path.
-        train_dataset = train_dataset.to_device_resident()
-    is_image_data = "image" in train_dataset.element_spec
-    data_key = "image" if is_image_data else "features"
-
-    model = PosteriorMatchingVAE.from_config(config.model.to_dict())
+def build_loss_fn(model, config, data_key):
+    """The PM-VAE training loss exactly as the reference composes it
+    (reference train_pm_vae.py:58-72: mean ELBO with the beta schedule +
+    matching_coef * mean matching loss). Module-level so the single-step
+    update-parity test (tests/test_reference_parity_update.py) exercises
+    the REAL training loss, not a restatement."""
     beta_schedule = get_beta_schedule(
         config.beta.to_dict() if "beta" in config else {}
     )
@@ -84,16 +74,13 @@ def main(_):
         aux["beta"] = beta
         return loss, aux, state
 
-    def init_fn(key, batch):
-        k_params, k_sample = jax.random.split(key)
-        variables = model.init(
-            {"params": k_params, "sample": k_sample, "dropout": k_sample},
-            batch[data_key],
-            batch["mask"],
-            is_training=True,
-        )
-        return variables["params"], {}
+    return loss_fn
 
+
+def build_optimizer(config):
+    """The reference's exact optax chain (reference train_pm_vae.py:74-83):
+    scale_by_adam -> add_decayed_weights(ndim != 1 mask) ->
+    scale_by_schedule(exponential_decay) -> scale(-1)."""
     schedule = optax.exponential_decay(**config.lr_schedule)
     optimizer = optax.chain(
         optax.scale_by_adam(**config.get("adam", {})),
@@ -104,6 +91,38 @@ def main(_):
         optax.scale_by_schedule(schedule),
         optax.scale(-1.0),
     )
+    return optimizer, schedule
+
+
+def main(_):
+    config = flags.FLAGS.config
+
+    config.seed = resolve_seed(config)
+
+    config.lock()
+
+    train_dataset, val_dataset = load_datasets(config.data)
+    if config.get("device_resident_data", False):
+        # HBM-resident training data + on-device batch gather; pair
+        # with config.steps_per_call to remove the host input path.
+        train_dataset = train_dataset.to_device_resident()
+    is_image_data = "image" in train_dataset.element_spec
+    data_key = "image" if is_image_data else "features"
+
+    model = PosteriorMatchingVAE.from_config(config.model.to_dict())
+    loss_fn = build_loss_fn(model, config, data_key)
+
+    def init_fn(key, batch):
+        k_params, k_sample = jax.random.split(key)
+        variables = model.init(
+            {"params": k_params, "sample": k_sample, "dropout": k_sample},
+            batch[data_key],
+            batch["mask"],
+            is_training=True,
+        )
+        return variables["params"], {}
+
+    optimizer, schedule = build_optimizer(config)
 
     trainer = Trainer(
         loss_fn,
