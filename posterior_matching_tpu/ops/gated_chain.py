@@ -46,6 +46,7 @@ outside the kernels.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -264,17 +265,25 @@ def _masks_for_chunk(cfg: PairConfig, bc, meta_ref, sub_block):
     Seeded (step_seed, block_id, global_image) PER IMAGE so the realized
     bits are independent of the chunk size — forward (bc_fwd) and backward
     (bc_bwd) regenerate identical masks.  block_id = 2*pair_index +
-    sub_block disambiguates the vertical/horizontal draws."""
+    sub_block disambiguates the vertical/horizontal draws.
+
+    The Mosaic on current libtpu accepts at most TWO prng_seed words, so
+    block_id and the global image index are packed into one: images get the
+    low 20 bits (flagship batch is 32; 2^20 leaves 11 bits of block_id
+    headroom before any collision is possible)."""
     hw = cfg.h * cfg.w
     thresh = np.uint32(min(int(cfg.keep * (2.0 ** 32)), 2 ** 32 - 1))
     parts = []
     for im in range(bc):
-        pltpu.prng_seed(
-            meta_ref[0],
-            meta_ref[1] * 2 + sub_block,
-            pl.program_id(0) * bc + im,
-        )
-        parts.append(pltpu.prng_random_bits((hw, 2 * cfg.f)))
+        block_id = meta_ref[1] * 2 + sub_block
+        image_id = pl.program_id(0) * bc + im
+        pltpu.prng_seed(meta_ref[0], block_id * (2 ** 20) + image_id)
+        # On-chip the raw bits surface as int32 — bitcast to uint32 before
+        # the threshold compare or keep=0.5 (thresh exactly 2^31) degenerates
+        # into a sign test (interpret mode returns uint32 and hides this).
+        parts.append(
+            pltpu.bitcast(pltpu.prng_random_bits((hw, 2 * cfg.f)),
+                          jnp.uint32))
     bits = parts[0] if bc == 1 else jnp.concatenate(parts, axis=0)
     return (bits < thresh).astype(f32)
 
@@ -450,6 +459,19 @@ def _bwd_kernel_factory(cfg: PairConfig, down: bool):
 # ---------------------------------------------------------------------------
 
 
+def _compiler_params():
+    """Raise the kernel's scoped-VMEM cap above XLA's 16 MiB default.
+
+    At flagship shapes (batch chunk 4, F=128, 16x16 grid) the forward pair's
+    working set — double-buffered activation/output blocks plus the resident
+    packed weights — measures 19.6 MiB, over the default scoped limit though
+    comfortably inside v5e's physical VMEM (128 MiB).  Mosaic accepts a
+    per-kernel override; env-tunable for smaller parts.
+    """
+    limit = int(os.environ.get("PM_TPU_CHAIN_VMEM_MB", "64")) * 2**20
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
+
+
 def _weight_shapes(cfg: PairConfig, down: bool):
     """(name, (rows, cols)) for the packed pair weights, in argument order."""
     f, cd = cfg.f, cfg.cond_dim
@@ -554,6 +576,7 @@ def _build_pair(cfg: PairConfig, down: bool, batch: int):
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=cfg.interpret,
+            compiler_params=_compiler_params(),
         )(*args)
         return outs
 
@@ -616,6 +639,7 @@ def _build_pair(cfg: PairConfig, down: bool, batch: int):
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=cfg.interpret,
+            compiler_params=_compiler_params(),
         )(*args)
 
     # ---- custom_vjp -------------------------------------------------------

@@ -42,6 +42,10 @@ class Normal(Distribution):
         self.loc = jnp.asarray(loc)
         self.scale = jnp.asarray(scale)
 
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(self.loc.shape, self.scale.shape)
+
     def log_prob(self, x):
         z = (x - self.loc) / self.scale
         return -0.5 * z * z - jnp.log(self.scale) - _HALF_LOG_2PI
@@ -66,6 +70,10 @@ class Logistic(Distribution):
         super().__init__()
         self.loc = jnp.asarray(loc)
         self.scale = jnp.asarray(scale)
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(self.loc.shape, self.scale.shape)
 
     def _z(self, x):
         return (x - self.loc) / self.scale
@@ -96,6 +104,10 @@ class Bernoulli(Distribution):
             logits = jnp.log(probs) - jnp.log1p(-probs)
         self.logits = jnp.asarray(logits)
 
+    @property
+    def batch_shape(self):
+        return self.logits.shape
+
     def log_prob(self, x):
         x = jnp.asarray(x, self.logits.dtype)
         return -jax.nn.softplus(-self.logits) * x - jax.nn.softplus(
@@ -124,6 +136,10 @@ class Categorical(Distribution):
     def dtype(self):
         return self._dtype
 
+    @property
+    def batch_shape(self):
+        return self.logits.shape[:-1]
+
     def log_prob(self, x):
         lp = jax.nn.log_softmax(self.logits, axis=-1)
         return jnp.take_along_axis(
@@ -139,10 +155,21 @@ class Categorical(Distribution):
 
 
 class Independent(Distribution):
-    def __init__(self, distribution, reinterpreted_batch_ndims=1):
+    def __init__(self, distribution, reinterpreted_batch_ndims=None):
         super().__init__()
         self.distribution = distribution
+        if reinterpreted_batch_ndims is None:
+            # tfp's default: reinterpret ALL of the inner distribution's
+            # batch dims except the leftmost (the reference's VDVAE relies
+            # on this to reduce [b, h, w] block posteriors to [b]).
+            reinterpreted_batch_ndims = max(
+                len(distribution.batch_shape) - 1, 0)
         self.ndims = reinterpreted_batch_ndims
+
+    @property
+    def batch_shape(self):
+        shape = self.distribution.batch_shape
+        return shape[: len(shape) - self.ndims]
 
     def _sum(self, x):
         if self.ndims == 0:
@@ -171,6 +198,11 @@ class MultivariateNormalDiag(Distribution):
         super().__init__()
         self.loc = jnp.asarray(loc)
         self.scale_diag = jnp.asarray(scale_diag)
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(
+            self.loc.shape, self.scale_diag.shape)[:-1]
 
     def log_prob(self, x):
         z = (x - self.loc) / self.scale_diag
@@ -204,6 +236,11 @@ class MultivariateNormalTriL(Distribution):
         super().__init__()
         self.loc = jnp.asarray(loc)
         self.scale_tril = jnp.asarray(scale_tril)
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(
+            self.loc.shape, self.scale_tril.shape[:-1])[:-1]
 
     def log_prob(self, x):
         diff = x - self.loc
@@ -243,6 +280,10 @@ class TransformedDistribution(Distribution):
         self.distribution = distribution
         self.bijector = bijector
 
+    @property
+    def batch_shape(self):
+        return self.distribution.batch_shape
+
     def log_cdf(self, y):
         return self.distribution.log_cdf(self.bijector.inverse(y))
 
@@ -267,6 +308,10 @@ class QuantizedDistribution(Distribution):
         self.distribution = distribution
         self.low = low
         self.high = high
+
+    @property
+    def batch_shape(self):
+        return self.distribution.batch_shape
 
     def log_prob(self, y):
         d = self.distribution
@@ -297,6 +342,10 @@ class MixtureSameFamily(Distribution):
         super().__init__()
         self.mixture_distribution = mixture_distribution
         self.components_distribution = components_distribution
+
+    @property
+    def batch_shape(self):
+        return self.components_distribution.batch_shape[:-1]
 
     def log_prob(self, x):
         # The component axis sits immediately left of the components'

@@ -570,3 +570,44 @@ def test_clustering_accuracy_matches_reference():
     ours = clustering_accuracy(labels, preds)
     ref = ref_clustering.clustering_accuracy(labels, preds)
     np.testing.assert_allclose(ours, ref, rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Shim self-check: tfp Independent default semantics
+# ---------------------------------------------------------------------------
+
+
+def test_shim_independent_default_reduces_all_but_leftmost():
+    """tfp's ``Independent(dist)`` (no reinterpreted_batch_ndims) soaks up
+    ALL of the inner distribution's batch dims except the leftmost. The
+    reference VDVAE relies on this to reduce its [b, h, w]-batched block
+    posteriors to per-instance KLs (reference vdvae.py:543-571); a shim that
+    reduced only one dim made ``sum(d["kl"] for d in stats)`` add
+    incompatible [b, res] tensors across resolutions."""
+    for p in (SHIM_ROOT,):
+        if p not in sys.path:
+            sys.path.append(p)
+    from tensorflow_probability.substrates.jax import distributions as tfd
+
+    rng = np.random.RandomState(0)
+    loc = jnp.asarray(rng.randn(2, 4, 4, 3), jnp.float32)
+    scale = jnp.asarray(np.exp(rng.randn(2, 4, 4, 3) * 0.1), jnp.float32)
+
+    # MVN event soaks the last dim; Independent's default the middle two.
+    post = tfd.Independent(tfd.MultivariateNormalDiag(loc, scale))
+    prior = tfd.Independent(tfd.MultivariateNormalDiag(
+        jnp.zeros_like(loc), jnp.ones_like(scale)))
+    kl = post.kl_divergence(prior)
+    assert kl.shape == (2,)
+    lp = post.log_prob(loc)
+    assert lp.shape == (2,)
+
+    # Explicit ndims still honored (the DMoL head uses 1 and 2).
+    comp = tfd.Independent(tfd.Normal(loc, scale), reinterpreted_batch_ndims=1)
+    assert comp.log_prob(loc).shape == (2, 4, 4)
+
+    # The default on a rank-2-batch inner dist reduces exactly one dim —
+    # the VaDE decoder path (reference distributions.py:15-17).
+    flat = tfd.Independent(tfd.Normal(loc.reshape(2, 48),
+                                      scale.reshape(2, 48)))
+    assert flat.log_prob(loc.reshape(2, 48)).shape == (2,)
