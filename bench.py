@@ -105,8 +105,28 @@ def build(compute_dtype=None):
     params = variables.pop("params")
     state = dict(variables)
 
+    # The optimizer matches the real training CLI (train_pm_vqvae.py /
+    # reference train_pm_vqvae.py:122-123): the pretrained VQ-VAE subtree is
+    # FROZEN — no gradient is built through it and it carries no adam state.
+    # group_by_shape collapses the per-leaf adam update (~150 trainable
+    # leaves -> ~300 small multiply_add fusions + copies in the round-3
+    # device trace) into one fused kernel per SHAPE GROUP via leading-axis
+    # stacking (layout-preserving on TPU; optax.flatten's raveling forces
+    # per-leaf re-tiling relayouts and measured SLOWER than tree-adam:
+    # 57.2 vs 75.2 steps/s). Bit-identical to tree-adam (tested).
+    # PM_BENCH_OPT picks the variant for A/B attribution: group | tree.
+    from posterior_matching_tpu.train.optim import group_by_shape
+
     tx = optax.adam(3e-4)
-    opt_state = tx.init(params)
+    if os.environ.get("PM_BENCH_OPT", "group") == "group":
+        tx = group_by_shape(tx)
+
+    def _split(p):
+        train = {k: v for k, v in p.items() if k != "vqvae"}
+        return train, p["vqvae"]
+
+    trainable0, _ = _split(params)
+    opt_state = tx.init(trainable0)
 
     def loss(params, state, x, b, key):
         ll, _ = model.apply(
@@ -130,9 +150,13 @@ def build(compute_dtype=None):
         b = mask_fn(k_mask, images.shape).reshape(
             (*images.shape[:-1], 1)
         )
-        g = jax.grad(loss)(params, state, images, b, k_drop)
+        train, frozen = _split(params)
+        g = jax.grad(
+            lambda t: loss({**t, "vqvae": frozen}, state, images, b, k_drop)
+        )(train)
         updates, opt_state = tx.update(g, opt_state)
-        return optax.apply_updates(params, updates), opt_state, key
+        train = optax.apply_updates(train, updates)
+        return {**train, "vqvae": frozen}, opt_state, key
 
     fused_step = jax.jit(fused_body, donate_argnums=(0, 1))
 
@@ -154,9 +178,13 @@ def build(compute_dtype=None):
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def naive_step(params, opt_state, state, images, b, key):
         key, k_drop = jax.random.split(key)
-        g = jax.grad(loss)(params, state, images, b, k_drop)
+        train, frozen = _split(params)
+        g = jax.grad(
+            lambda t: loss({**t, "vqvae": frozen}, state, images, b, k_drop)
+        )(train)
         updates, opt_state = tx.update(g, opt_state)
-        return optax.apply_updates(params, updates), opt_state, key
+        train = optax.apply_updates(train, updates)
+        return {**train, "vqvae": frozen}, opt_state, key
 
     return (
         jax, jnp, model, mask_fn, images, params, state, opt_state,

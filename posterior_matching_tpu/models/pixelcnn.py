@@ -307,7 +307,10 @@ class PixelCNN(nn.Module):
         """
         import os
 
-        from posterior_matching_tpu.ops.gated_chain import gated_pair
+        from posterior_matching_tpu.ops.gated_chain import (
+            gated_pair,
+            gated_segment,
+        )
 
         f = self.num_filters
         n = self.num_resnet
@@ -390,20 +393,60 @@ class PixelCNN(nn.Module):
         xv = stacks_init["vertical"]
         xh = stacks_init["horizontal"]
         xs_v, xs_h = [xv], [xh]
-        for p in range(n):
-            xv, xh = gated_pair(
-                xv, xh, None, cond2d, pack_pair("up", p, False), seed, p,
-                masks=masks_for(xv.shape), **common,
+
+        # PM_TPU_CHAIN_SEGMENT = levels per kernel (1 = pair kernels). The
+        # segment kernels run L levels back-to-back in ONE Pallas kernel
+        # (fwd + custom VJP) — identical numerics and dropout bits to L
+        # sequential pair calls (parity-tested), 1/L the kernel count.
+        seg_sz = max(1, int(os.environ.get("PM_TPU_CHAIN_SEGMENT", "4")))
+
+        if seg_sz == 1:
+            for p in range(n):
+                xv, xh = gated_pair(
+                    xv, xh, None, cond2d, pack_pair("up", p, False), seed, p,
+                    masks=masks_for(xv.shape), **common,
+                )
+                xs_v.append(xv)
+                xs_h.append(xh)
+            for p in range(n):
+                skv = xs_v[n - 1 - p]
+                skh = xs_h[n - 1 - p]
+                xv, xh = gated_pair(
+                    xv, xh, (skv, skh), cond2d, pack_pair("dn", p, True),
+                    seed, n + p, masks=masks_for(xv.shape), **common,
+                )
+            return xh
+
+        def seg_masks(count):
+            ms = [masks_for(xv.shape) for _ in range(count)]
+            return ms if ms[0] is not None else None
+
+        p = 0
+        while p < n:
+            s = min(seg_sz, n - p)
+            outs = gated_segment(
+                xv, xh, None, cond2d,
+                [pack_pair("up", p + i, False) for i in range(s)],
+                seed, p, masks=seg_masks(s), **common,
             )
-            xs_v.append(xv)
-            xs_h.append(xh)
-        for p in range(n):
-            skv = xs_v[n - 1 - p]
-            skh = xs_h[n - 1 - p]
-            xv, xh = gated_pair(
-                xv, xh, (skv, skh), cond2d, pack_pair("dn", p, True),
-                seed, n + p, masks=masks_for(xv.shape), **common,
+            for xvl, xhl in outs:
+                xs_v.append(xvl)
+                xs_h.append(xhl)
+            xv, xh = outs[-1]
+            p += s
+        p = 0
+        while p < n:
+            s = min(seg_sz, n - p)
+            outs = gated_segment(
+                xv, xh,
+                [(xs_v[n - 1 - (p + i)], xs_h[n - 1 - (p + i)])
+                 for i in range(s)],
+                cond2d,
+                [pack_pair("dn", p + i, True) for i in range(s)],
+                seed, n + p, masks=seg_masks(s), **common,
             )
+            xv, xh = outs[-1]
+            p += s
         return xh
 
     def _gated_residual(

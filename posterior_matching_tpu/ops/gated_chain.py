@@ -259,13 +259,16 @@ def _proj(cond, wc_ref, cdtype):
     return _dot(cond.astype(cdtype), wc_ref[:].astype(cdtype))
 
 
-def _masks_for_chunk(cfg: PairConfig, bc, meta_ref, sub_block):
+def _masks_for_chunk(cfg: PairConfig, bc, meta_ref, sub_block, pair_offset=0):
     """In-kernel per-image dropout masks for the current chunk.
 
     Seeded (step_seed, block_id, global_image) PER IMAGE so the realized
     bits are independent of the chunk size — forward (bc_fwd) and backward
     (bc_bwd) regenerate identical masks.  block_id = 2*pair_index +
-    sub_block disambiguates the vertical/horizontal draws.
+    sub_block disambiguates the vertical/horizontal draws; ``pair_offset``
+    adds the level index inside a multi-level SEGMENT kernel (segments seed
+    identically to the equivalent pair-kernel sequence, so the two paths
+    realize bit-identical dropout).
 
     The Mosaic on current libtpu accepts at most TWO prng_seed words, so
     block_id and the global image index are packed into one: images get the
@@ -275,7 +278,7 @@ def _masks_for_chunk(cfg: PairConfig, bc, meta_ref, sub_block):
     thresh = np.uint32(min(int(cfg.keep * (2.0 ** 32)), 2 ** 32 - 1))
     parts = []
     for im in range(bc):
-        block_id = meta_ref[1] * 2 + sub_block
+        block_id = (meta_ref[1] + pair_offset) * 2 + sub_block
         image_id = pl.program_id(0) * bc + im
         pltpu.prng_seed(meta_ref[0], block_id * (2 ** 20) + image_id)
         # On-chip the raw bits surface as int32 — bitcast to uint32 before
@@ -757,3 +760,499 @@ def gated_pair(
     xvn, xhn = pair(meta, *flat)
     back = lambda t: t.reshape(b, h, w, f)
     return back(xvn), back(xhn)
+
+
+# ---------------------------------------------------------------------------
+# Multi-level SEGMENT kernels: L consecutive pair levels in ONE Pallas kernel
+# ---------------------------------------------------------------------------
+#
+# The round-3 device trace (BASELINE.md) put the 48 pair kernels at 8.64 ms
+# of the 12.87 ms step with ~40-60 us of per-kernel fixed cost (launch, weight
+# DMA ramp, boundary HBM round trips of xv/xh) on top of the ~60-70 us of MXU
+# work each.  A segment kernel runs L levels back-to-back with all L levels'
+# weights resident and xv/xh carried in VMEM, paying the fixed cost 48/L
+# times instead of 48.  Numerics, saves layout, and the PRNG dropout seeding
+# are IDENTICAL to the pair kernels (block_id = (base_pair + l)*2 +
+# sub_block), so segment and pair paths are interchangeable per checkpoint
+# and parity-tested against each other.
+
+
+def _seg_fwd_kernel_factory(cfg: PairConfig, down: bool, L: int):
+    bc = cfg.bc_fwd
+    cdtype = jnp.dtype(cfg.cdtype)
+    use_mask = cfg.keep < 1.0
+    wnames = [n for n, _ in _weight_shapes(cfg, down)]
+
+    def kernel(*refs):
+        it = iter(refs)
+        meta_ref = next(it)
+        xv_ref, xh_ref = next(it), next(it)
+        sk_refs = (
+            [(next(it), next(it)) for _ in range(L)] if down else None
+        )
+        cond_ref = next(it)
+        w = [
+            dict(zip(wnames, (next(it) for _ in wnames))) for _ in range(L)
+        ]
+        if use_mask and cfg.mask_mode == "input":
+            m_refs = [(next(it), next(it)) for _ in range(L)]
+        outs = [tuple(next(it) for _ in range(6)) for _ in range(L)]
+
+        cond2d = cond_ref[:].reshape(bc, cfg.cond_dim)
+        xv = xv_ref[:]
+        xh = xh_ref[:]
+        for l in range(L):
+            if not use_mask:
+                mv = mh = None
+            elif cfg.mask_mode == "input":
+                mv = m_refs[l][0][:].astype(f32)
+                mh = m_refs[l][1][:].astype(f32)
+            else:
+                mv = _masks_for_chunk(cfg, bc, meta_ref, 0, pair_offset=l)
+                mh = _masks_for_chunk(cfg, bc, meta_ref, 1, pair_offset=l)
+            wl = w[l]
+            aux_v = [(sk_refs[l][0][:], wl["wxv"])] if down else []
+            xv_new, a1v, b1v = _block_fwd(
+                cfg, cfg.taps_v, bc, xv, aux_v,
+                _proj(cond2d, wl["wcv"], cdtype), mv,
+                wl["wav"], wl["bav"], wl["wbv"], wl["bbv"],
+            )
+            aux_h = [(xv_new, wl["wxh_u"])]
+            if down:
+                aux_h.append((sk_refs[l][1][:], wl["wxh_s"]))
+            xh_new, a1h, b1h = _block_fwd(
+                cfg, cfg.taps_h, bc, xh, aux_h,
+                _proj(cond2d, wl["wch"], cdtype), mh,
+                wl["wah"], wl["bah"], wl["wbh"], wl["bbh"],
+            )
+            xvo, xho, a1v_ref, a1h_ref, b1v_ref, b1h_ref = outs[l]
+            xvo[:] = xv_new
+            xho[:] = xh_new
+            a1v_ref[:] = a1v
+            a1h_ref[:] = a1h
+            b1v_ref[:] = b1v
+            b1h_ref[:] = b1h
+            xv, xh = xv_new, xh_new
+
+    return kernel
+
+
+def _seg_bwd_kernel_factory(cfg: PairConfig, down: bool, L: int):
+    bc = cfg.bc_bwd
+    cdtype = jnp.dtype(cfg.cdtype)
+    use_mask = cfg.keep < 1.0
+    hw = cfg.h * cfg.w
+    f = cfg.f
+    wnames_all = [n for n, _ in _weight_shapes(cfg, down)]
+    wnames_bwd = [n for n in wnames_all if not n.startswith("b")]
+
+    def kernel(*refs):
+        it = iter(refs)
+        meta_ref = next(it)
+        g_refs = [(next(it), next(it)) for _ in range(L)]
+        xv0_ref, xh0_ref = next(it), next(it)
+        xvh_refs = [(next(it), next(it)) for _ in range(L)]
+        sk_refs = (
+            [(next(it), next(it)) for _ in range(L)] if down else None
+        )
+        cond_ref = next(it)
+        saves = [tuple(next(it) for _ in range(4)) for _ in range(L)]
+        w = [
+            dict(zip(wnames_bwd, (next(it) for _ in wnames_bwd)))
+            for _ in range(L)
+        ]
+        if use_mask and cfg.mask_mode == "input":
+            m_refs = [(next(it), next(it)) for _ in range(L)]
+        dgv_ref, dgh_ref = next(it), next(it)
+        dsk_refs = (
+            [(next(it), next(it)) for _ in range(L)] if down else None
+        )
+        dcond_ref = next(it)
+        dw = [
+            dict(zip(wnames_all, (next(it) for _ in wnames_all)))
+            for _ in range(L)
+        ]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for l in range(L):
+                for r in dw[l].values():
+                    r[:] = jnp.zeros_like(r)
+
+        cond = cond_ref[:].reshape(bc, cfg.cond_dim).astype(cdtype)
+        dcond_total = None
+        dv = dh = None
+        for l in reversed(range(L)):
+            dv_ext = g_refs[l][0][:].astype(f32)
+            dh_ext = g_refs[l][1][:].astype(f32)
+            dv = dv_ext if dv is None else dv + dv_ext
+            dh = dh_ext if dh is None else dh + dh_ext
+            if not use_mask:
+                mv = mh = None
+            elif cfg.mask_mode == "input":
+                mv = m_refs[l][0][:].astype(f32)
+                mh = m_refs[l][1][:].astype(f32)
+            else:
+                mv = _masks_for_chunk(cfg, bc, meta_ref, 0, pair_offset=l)
+                mh = _masks_for_chunk(cfg, bc, meta_ref, 1, pair_offset=l)
+            xv_in = xv0_ref[:] if l == 0 else xvh_refs[l - 1][0][:]
+            xh_in = xh0_ref[:] if l == 0 else xvh_refs[l - 1][1][:]
+            xv_new = xvh_refs[l][0][:]
+            wl, dwl = w[l], dw[l]
+            a1v_s, a1h_s, b1v_s, b1h_s = saves[l]
+
+            aux_h = [(xv_new, wl["wxh_u"], dwl["wxh_u"])]
+            if down:
+                aux_h.append((sk_refs[l][1][:], wl["wxh_s"], dwl["wxh_s"]))
+            dxh, dauxes_h, db1h = _block_bwd(
+                cfg, cfg.taps_h, bc, dh, xh_in, aux_h, mh,
+                a1h_s[:], b1h_s[:], wl["wah"], wl["wbh"],
+                dwl["wah"], dwl["bah"], dwl["wbh"], dwl["bbh"],
+            )
+            rs_h = db1h.reshape(bc, hw, 2 * f).sum(axis=1)
+            dwl["wch"][:] += _dot_t(cond, rs_h.astype(cdtype))
+            if down:
+                dsk_refs[l][1][:] = dauxes_h[1].astype(dsk_refs[l][1].dtype)
+
+            gv_total = dv + dauxes_h[0]
+            aux_v = (
+                [(sk_refs[l][0][:], wl["wxv"], dwl["wxv"])] if down else []
+            )
+            dxv, dauxes_v, db1v = _block_bwd(
+                cfg, cfg.taps_v, bc, gv_total, xv_in, aux_v, mv,
+                a1v_s[:], b1v_s[:], wl["wav"], wl["wbv"],
+                dwl["wav"], dwl["bav"], dwl["wbv"], dwl["bbv"],
+            )
+            rs_v = db1v.reshape(bc, hw, 2 * f).sum(axis=1)
+            dwl["wcv"][:] += _dot_t(cond, rs_v.astype(cdtype))
+            if down:
+                dsk_refs[l][0][:] = dauxes_v[0].astype(dsk_refs[l][0].dtype)
+
+            dc = _dot(rs_v.astype(cdtype), wl["wcv"][:].astype(cdtype).T)
+            dc = dc + _dot(rs_h.astype(cdtype), wl["wch"][:].astype(cdtype).T)
+            dcond_total = dc if dcond_total is None else dcond_total + dc
+            dv, dh = dxv, dxh
+
+        dgv_ref[:] = dv.astype(dgv_ref.dtype)
+        dgh_ref[:] = dh.astype(dgh_ref.dtype)
+        dcond_ref[:] = dcond_total.reshape(bc, 1, cfg.cond_dim).astype(
+            dcond_ref.dtype
+        )
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _build_segment(cfg: PairConfig, down: bool, batch: int, L: int):
+    """Builds the custom_vjp'd SEGMENT function for one static config.
+
+    Returned callable signature (all arrays)::
+
+        fn(meta, xv, xh, [skv_0, skh_0, ..., skv_{L-1}, skh_{L-1},] cond,
+           *weights_level_major [, mv_0, mh_0, ..., mv_{L-1}, mh_{L-1}])
+        -> ((xv_0, xh_0), ..., (xv_{L-1}, xh_{L-1}))
+
+    meta: [2] int32 = (step_seed, BASE pair index of the segment).  Per-level
+    outputs are returned so the down pass can consume up outputs as skips;
+    unconsumed outputs get zero cotangents and the backward kernel adds the
+    per-level cotangents into the in-kernel chain backprop.
+    """
+    h, w, f, cd = cfg.h, cfg.w, cfg.f, cfg.cond_dim
+    hw = h * w
+    cdtype = jnp.dtype(cfg.cdtype)
+    use_mask_inputs = cfg.keep < 1.0 and cfg.mask_mode == "input"
+    wshapes = _weight_shapes(cfg, down)
+    wnames_all = [n for n, _ in wshapes]
+    wnames_bwd = [n for n in wnames_all if not n.startswith("b")]
+    shp = dict(wshapes)
+    n_w = len(wshapes)
+
+    if batch % cfg.bc_fwd or batch % cfg.bc_bwd:
+        raise ValueError(
+            f"batch {batch} not divisible by chunk sizes "
+            f"({cfg.bc_fwd}, {cfg.bc_bwd})"
+        )
+
+    def act_spec(bc, cols):
+        return pl.BlockSpec((bc * hw, cols), lambda i: (i, 0))
+
+    def cond_spec(bc):
+        return pl.BlockSpec((bc, 1, cd), lambda i: (i, 0, 0))
+
+    def full_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0))
+
+    def _flat_act(x):
+        return x.reshape(batch * hw, x.shape[-1])
+
+    # ---- forward ----------------------------------------------------------
+    fwd_kernel = _seg_fwd_kernel_factory(cfg, down, L)
+    n_chunks_f = batch // cfg.bc_fwd
+
+    def fwd_call(meta, xv, xh, skips, cond, weights, masks):
+        bc = cfg.bc_fwd
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        args = [meta]
+        for a in (xv, xh):
+            in_specs.append(act_spec(bc, f))
+            args.append(_flat_act(a))
+        if down:
+            for skv, skh in skips:
+                in_specs.append(act_spec(bc, f))
+                args.append(_flat_act(skv))
+                in_specs.append(act_spec(bc, f))
+                args.append(_flat_act(skh))
+        in_specs.append(cond_spec(bc))
+        args.append(cond.reshape(batch, 1, cd))
+        for wl in weights:                     # level-major
+            for n in wnames_all:
+                in_specs.append(full_spec(shp[n]))
+                args.append(wl[n])
+        if use_mask_inputs:
+            for mv, mh in masks:
+                in_specs.append(act_spec(bc, 2 * f))
+                args.append(_flat_act(mv))
+                in_specs.append(act_spec(bc, 2 * f))
+                args.append(_flat_act(mh))
+
+        out_specs, out_shape = [], []
+        for _ in range(L):
+            for cols in (f, f, f, f, 2 * f, 2 * f):  # xv,xh,a1v,a1h,b1v,b1h
+                out_specs.append(act_spec(bc, cols))
+                out_shape.append(
+                    jax.ShapeDtypeStruct((batch * hw, cols), cdtype)
+                )
+        return pl.pallas_call(
+            fwd_kernel,
+            grid=(n_chunks_f,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=cfg.interpret,
+            compiler_params=_compiler_params(),
+        )(*args)
+
+    # ---- backward ---------------------------------------------------------
+    bwd_kernel = _seg_bwd_kernel_factory(cfg, down, L)
+    n_chunks_b = batch // cfg.bc_bwd
+
+    def bwd_call(meta, gs, xv0, xh0, level_outs, skips, cond, saves,
+                 weights, masks):
+        bc = cfg.bc_bwd
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        args = [meta]
+        for gv, gh in gs:
+            in_specs.append(act_spec(bc, f))
+            args.append(gv)
+            in_specs.append(act_spec(bc, f))
+            args.append(gh)
+        for a in (xv0, xh0):
+            in_specs.append(act_spec(bc, f))
+            args.append(_flat_act(a))
+        for xvl, xhl in level_outs:            # already flat
+            in_specs.append(act_spec(bc, f))
+            args.append(xvl)
+            in_specs.append(act_spec(bc, f))
+            args.append(xhl)
+        if down:
+            for skv, skh in skips:
+                in_specs.append(act_spec(bc, f))
+                args.append(_flat_act(skv))
+                in_specs.append(act_spec(bc, f))
+                args.append(_flat_act(skh))
+        in_specs.append(cond_spec(bc))
+        args.append(cond.reshape(batch, 1, cd))
+        for a1v, a1h, b1v, b1h in saves:       # already flat
+            in_specs.append(act_spec(bc, f))
+            args.append(a1v)
+            in_specs.append(act_spec(bc, f))
+            args.append(a1h)
+            in_specs.append(act_spec(bc, 2 * f))
+            args.append(b1v)
+            in_specs.append(act_spec(bc, 2 * f))
+            args.append(b1h)
+        for wl in weights:
+            for n in wnames_bwd:
+                in_specs.append(full_spec(shp[n]))
+                args.append(wl[n])
+        if use_mask_inputs:
+            for mv, mh in masks:
+                in_specs.append(act_spec(bc, 2 * f))
+                args.append(_flat_act(mv))
+                in_specs.append(act_spec(bc, 2 * f))
+                args.append(_flat_act(mh))
+
+        out_specs = [act_spec(bc, f), act_spec(bc, f)]   # dxv0, dxh0
+        out_shape = [
+            jax.ShapeDtypeStruct((batch * hw, f), cdtype),
+            jax.ShapeDtypeStruct((batch * hw, f), cdtype),
+        ]
+        if down:
+            for _ in range(L):
+                out_specs += [act_spec(bc, f), act_spec(bc, f)]
+                out_shape += [
+                    jax.ShapeDtypeStruct((batch * hw, f), cdtype),
+                    jax.ShapeDtypeStruct((batch * hw, f), cdtype),
+                ]
+        out_specs.append(cond_spec(bc))
+        out_shape.append(jax.ShapeDtypeStruct((batch, 1, cd), f32))
+        for _ in range(L):
+            for n, s in wshapes:
+                out_specs.append(full_spec(s))
+                out_shape.append(jax.ShapeDtypeStruct(s, f32))
+
+        return pl.pallas_call(
+            bwd_kernel,
+            grid=(n_chunks_b,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=cfg.interpret,
+            compiler_params=_compiler_params(),
+        )(*args)
+
+    # ---- custom_vjp -------------------------------------------------------
+    n_sk = 2 * L if down else 0
+    n_m = 2 * L if use_mask_inputs else 0
+
+    def _split(flat):
+        xv, xh = flat[0], flat[1]
+        skips = [
+            (flat[2 + 2 * i], flat[3 + 2 * i]) for i in range(L)
+        ] if down else None
+        cond = flat[2 + n_sk]
+        woff = 3 + n_sk
+        weights = [
+            dict(zip(wnames_all, flat[woff + l * n_w : woff + (l + 1) * n_w]))
+            for l in range(L)
+        ]
+        moff = woff + L * n_w
+        masks = [
+            (flat[moff + 2 * i], flat[moff + 2 * i + 1]) for i in range(L)
+        ] if use_mask_inputs else None
+        return xv, xh, skips, cond, weights, masks
+
+    def _level_views(outs):
+        """fwd_call's flat outputs -> per-level (xv, xh) and saves."""
+        level_outs = [(outs[6 * l], outs[6 * l + 1]) for l in range(L)]
+        saves = [tuple(outs[6 * l + 2 : 6 * l + 6]) for l in range(L)]
+        return level_outs, saves
+
+    def _reshape_pairs(level_outs):
+        return tuple(
+            (xv.reshape(batch, hw, f), xh.reshape(batch, hw, f))
+            for xv, xh in level_outs
+        )
+
+    @jax.custom_vjp
+    def segment(meta, *flat):
+        xv, xh, skips, cond, weights, masks = _split(flat)
+        outs = fwd_call(meta, xv, xh, skips, cond, weights, masks)
+        level_outs, _ = _level_views(outs)
+        return _reshape_pairs(level_outs)
+
+    def segment_fwd(meta, *flat):
+        xv, xh, skips, cond, weights, masks = _split(flat)
+        outs = fwd_call(meta, xv, xh, skips, cond, weights, masks)
+        level_outs, saves = _level_views(outs)
+        res = (meta, xv, xh, skips, cond, level_outs, saves, weights, masks)
+        return _reshape_pairs(level_outs), res
+
+    def segment_bwd(res, g):
+        meta, xv, xh, skips, cond, level_outs, saves, weights, masks = res
+        gs = [
+            (_flat_act(gv).astype(cdtype), _flat_act(gh).astype(cdtype))
+            for gv, gh in g
+        ]
+        outs = bwd_call(
+            meta, gs, xv, xh, level_outs, skips, cond, saves, weights, masks
+        )
+        it = iter(outs)
+        grads = [
+            next(it).reshape(batch, hw, f),      # dxv0
+            next(it).reshape(batch, hw, f),      # dxh0
+        ]
+        if down:
+            for _ in range(L):
+                grads.append(next(it).reshape(batch, hw, f))   # dskv_l
+                grads.append(next(it).reshape(batch, hw, f))   # dskh_l
+        grads.append(next(it).reshape(batch, cd))              # dcond
+        for _ in range(L):
+            for n in wnames_all:
+                grads.append(next(it))
+        if use_mask_inputs:
+            for mv, mh in masks:
+                grads.append(jnp.zeros_like(mv))
+                grads.append(jnp.zeros_like(mh))
+        dmeta = np.zeros((2,), jax.dtypes.float0)
+        return (dmeta, *grads)
+
+    segment.defvjp(segment_fwd, segment_bwd)
+    return segment
+
+
+def gated_segment(
+    xv: jnp.ndarray,
+    xh: jnp.ndarray,
+    skips,                        # None (up) or [(skv_l, skh_l)] * L (down)
+    cond: jnp.ndarray,
+    weights,                      # [dict] * L matching _weight_shapes names
+    seed: jnp.ndarray,
+    base_pair_index: int,
+    *,
+    keep: float,
+    compute_dtype=jnp.float32,
+    bc_fwd: int = 4,
+    bc_bwd: int = 2,
+    mask_mode: str = "prng",
+    masks=None,                   # [(mv_l, mh_l)] * L when mask_mode=input
+    interpret: bool = False,
+    receptive_field_dims: Tuple[int, int] = (3, 3),
+):
+    """L consecutive gated-pair levels as ONE fused fwd kernel + ONE bwd
+    kernel. Drop-in equivalent of L sequential :func:`gated_pair` calls with
+    pair indices ``base_pair_index .. base_pair_index + L - 1`` (identical
+    numerics, saves, and PRNG dropout bits — parity-tested). Returns the
+    per-level ``(new_vertical, new_horizontal)`` tuples, each [B, H, W, F],
+    so up outputs remain addressable as down-pass skips."""
+    b, h, w, f = xv.shape
+    L = len(weights)
+    rows_, cols_ = receptive_field_dims
+    taps_v = plan_taps((2 * rows_ - 3, cols_), (0, rows_ - 1), (0, cols_))
+    taps_h = plan_taps((3, cols_), (0, 2), (0, cols_ // 2 + 1))
+    down = skips is not None
+    cfg = PairConfig(
+        h=h, w=w, f=f, cond_dim=cond.shape[-1],
+        taps_v=taps_v, taps_h=taps_h, keep=float(keep),
+        cdtype=jnp.dtype(compute_dtype).name,
+        bc_fwd=min(bc_fwd, b), bc_bwd=min(bc_bwd, b),
+        mask_mode=mask_mode, interpret=interpret,
+    )
+    seg = _build_segment(cfg, down, b, L)
+
+    cdtype = jnp.dtype(compute_dtype)
+    meta = jnp.stack(
+        [jnp.asarray(seed, jnp.int32).reshape(()),
+         jnp.asarray(base_pair_index, jnp.int32)]
+    )
+    to3 = lambda t: t.reshape(b, h * w, t.shape[-1]).astype(cdtype)
+    flat = [to3(xv), to3(xh)]
+    if down:
+        for skv, skh in skips:
+            flat += [to3(skv), to3(skh)]
+    flat.append(cond.astype(cdtype))
+    for wl in weights:
+        for name, shp_ in _weight_shapes(cfg, down):
+            wt = wl[name]
+            if wt.shape != shp_:
+                raise ValueError(f"{name}: expected {shp_}, got {wt.shape}")
+            flat.append(
+                wt.astype(f32) if name.startswith("b") else wt.astype(cdtype)
+            )
+    if cfg.keep < 1.0 and mask_mode == "input":
+        for mv, mh in masks:
+            flat += [to3(mv), to3(mh)]
+
+    outs = seg(meta, *flat)
+    back = lambda t: t.reshape(b, h, w, f)
+    return [(back(xvl), back(xhl)) for xvl, xhl in outs]

@@ -5,6 +5,10 @@ from posterior_matching_tpu.train.callbacks import (
     OrbaxCheckpointCallback,
     TensorBoardCallback,
 )
+from posterior_matching_tpu.train.optim import (
+    group_by_shape,
+    stacked_shape_mask,
+)
 from posterior_matching_tpu.train.schedules import (
     cyclical_annealing_schedule,
     get_beta_schedule,
@@ -18,6 +22,8 @@ from posterior_matching_tpu.train.trainer import Trainer
 
 __all__ = [
     "Callback",
+    "group_by_shape",
+    "stacked_shape_mask",
     "CheckpointCallback",
     "LearningRateLoggerCallback",
     "OrbaxCheckpointCallback",

@@ -1,0 +1,100 @@
+"""Optimizer-update consolidation for TPU.
+
+XLA lowers a per-leaf optax update over a ~150-leaf model into ~300 small
+multiply_add fusions + ~650 inter-fusion copies (≈2.7 ms/step measured in
+the round-3 flagship device trace — per-kernel overhead on a 0.43 ms
+bandwidth floor). ``optax.flatten`` is the textbook fix but an ANTI-PATTERN
+on TPU: raveling each (8, 128)-tiled array to 1-D forces physical re-tiling
+relayouts (measured on the flagship step: +1.1 ms reshape + 1.1 ms
+concatenate + 0.4 ms dynamic-update-slice and a 2.4 ms unfused adam — a net
+LOSS vs the fragmentation it removes). :func:`group_by_shape` is the
+TPU-native consolidation: stack same-shaped leaves along a NEW leading axis
+(trailing-two-dim tiling untouched — pure DMA) and run the inner transform
+once per shape GROUP.
+"""
+import collections
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def group_by_shape(
+    inner: optax.GradientTransformation,
+) -> optax.GradientTransformation:
+    """Runs ``inner`` over same-shaped leaves STACKED along a new leading
+    axis — the TPU-native analogue of ``optax.flatten``.
+
+    ``optax.flatten`` ravels every leaf to 1-D, which on TPU forces a
+    physical re-tiling of each (8, 128)-tiled 2-D array (measured on the
+    flagship step: +1.1 ms of reshape relayouts, +1.1 ms concatenate,
+    +0.4 ms dynamic-update-slice, and a 2.4 ms unfused adam — a net LOSS
+    vs the per-leaf fragmentation it removes). Stacking same-shape leaves
+    along a NEW leading dim keeps the trailing-two-dim tiling intact, so
+    the stack/unstack are pure DMA and ``inner`` runs one fused elementwise
+    kernel per shape GROUP (the flagship's ~150 trainable leaves form ~10
+    groups) instead of one per leaf.
+
+    Numerically identical for elementwise inners (adam, sgd — tested);
+    NOT safe for inners that reduce across the whole tree with
+    per-leaf weighting differences (global-norm clip IS safe: the norm over
+    stacked groups equals the norm over leaves).
+    """
+
+    def _plan(tree):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        groups = collections.defaultdict(list)
+        for i, leaf in enumerate(leaves):
+            groups[(leaf.shape, jnp.result_type(leaf))].append(i)
+        # deterministic group order
+        keys = sorted(groups, key=str)
+        return treedef, len(leaves), [(k, tuple(groups[k])) for k in keys]
+
+    def _stack(tree, plan):
+        treedef, n, groups = plan
+        leaves = jax.tree_util.tree_flatten(tree)[0]
+        return [
+            jnp.stack([leaves[i] for i in idxs]) for _, idxs in groups
+        ]
+
+    def _unstack(stacked, plan):
+        treedef, n, groups = plan
+        leaves = [None] * n
+        for arr, (_, idxs) in zip(stacked, groups):
+            for j, i in enumerate(idxs):
+                leaves[i] = arr[j]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def init_fn(params):
+        plan = _plan(params)
+        inner_state = inner.init(_stack(params, plan))
+        return (inner_state,)
+
+    def update_fn(updates, state, params=None):
+        plan = _plan(updates)
+        s_updates = _stack(updates, plan)
+        s_params = _stack(params, plan) if params is not None else None
+        new_updates, inner_state = inner.update(
+            s_updates, state[0], s_params
+        )
+        return _unstack(new_updates, plan), (inner_state,)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def stacked_shape_mask(
+    predicate: Callable = lambda x: x.ndim != 1,
+) -> Callable:
+    """Shape-predicate mask callable for transforms running INSIDE
+    :func:`group_by_shape`, where every leaf arrives STACKED with one extra
+    leading axis. Evaluates ``predicate`` on a leaf's first slice (the
+    original shape), so e.g. the reference's weight-decay mask
+    ``ndim != 1`` (reference train_pm_vdvae.py optax chain) keeps excluding
+    biases::
+
+        group_by_shape(optax.chain(
+            ..., optax.add_decayed_weights(wd, mask=stacked_shape_mask()),
+        ))
+    """
+    return lambda tree: jax.tree.map(lambda x: predicate(x[0]), tree)

@@ -105,6 +105,13 @@ class Trainer:
             the PM-VQVAE CelebA step (measured, BASELINE.md). Prologue
             (mask) keys stay threefry — many small fused draws, measured
             equal. Pass ``None`` to force threefry everywhere.
+        optimizer may also be a FACTORY ``params ->
+            GradientTransformation`` for transforms that need concrete
+            parameter shapes; it is called once with the initialized params.
+            For consolidating the per-leaf update fragmentation on TPU, wrap
+            the optimizer in ``train.optim.group_by_shape`` (NOT
+            ``optax.flatten``, whose raveling forces re-tiling relayouts —
+            measured slower than the per-leaf update on the flagship).
     """
 
     def __init__(
@@ -159,8 +166,15 @@ class Trainer:
     # -- setup ---------------------------------------------------------------
 
     def _build_tx(self, params) -> optax.GradientTransformation:
+        inner = self._optimizer
+        if not isinstance(
+            inner, optax.GradientTransformation
+        ) and callable(inner):
+            # optimizer FACTORY ``params -> GradientTransformation``: for
+            # transforms that need concrete parameter shapes.
+            inner = inner(params)
         if self._trainable_predicate is None:
-            return self._optimizer
+            return inner
 
         pred = self._trainable_predicate
 
@@ -173,7 +187,7 @@ class Trainer:
 
         labels = jax.tree_util.tree_map_with_path(label, params)
         return optax.multi_transform(
-            {"trainable": self._optimizer, "frozen": optax.set_to_zero()},
+            {"trainable": inner, "frozen": optax.set_to_zero()},
             labels,
         )
 

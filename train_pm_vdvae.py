@@ -40,6 +40,8 @@ from posterior_matching_tpu.train import (
     LearningRateLoggerCallback,
     TensorBoardCallback,
     Trainer,
+    group_by_shape,
+    stacked_shape_mask,
 )
 from posterior_matching_tpu.utils import make_run_dir
 
@@ -162,16 +164,28 @@ def main(_):
     else:
         schedule = lambda _: config.lr
 
+    # flat_optimizer (config, default off — the optimizer-state pickle ABI
+    # changes): consolidate clip+adam+wd+schedule over same-shape leaf
+    # GROUPS (train/optim.py::group_by_shape — the VDVAE's ~hundreds of
+    # leaves otherwise fragment the update into small kernels). The
+    # reference's shape-dependent decay mask (ndim != 1) is evaluated on
+    # each group's original shape via stacked_shape_mask — bit-identical
+    # updates (tests/test_trainer.py).
+    flat = bool(config.get("flat_optimizer", False))
+    mask = (
+        stacked_shape_mask()
+        if flat
+        else (lambda p: jax.tree.map(lambda x: x.ndim != 1, p))
+    )
     optimizer = optax.chain(
         optax.clip_by_global_norm(config.gradient_clip),
         optax.scale_by_adam(**config.get("adam", {})),
-        optax.add_decayed_weights(
-            config.get("weight_decay", 0.0),
-            mask=lambda p: jax.tree.map(lambda x: x.ndim != 1, p),
-        ),
+        optax.add_decayed_weights(config.get("weight_decay", 0.0), mask=mask),
         optax.scale_by_schedule(schedule),
         optax.scale(-1.0),
     )
+    if flat:
+        optimizer = group_by_shape(optimizer)
 
     trainer = Trainer(
         loss_fn,
