@@ -108,17 +108,18 @@ def build(compute_dtype=None):
     # The optimizer matches the real training CLI (train_pm_vqvae.py /
     # reference train_pm_vqvae.py:122-123): the pretrained VQ-VAE subtree is
     # FROZEN — no gradient is built through it and it carries no adam state.
-    # group_by_shape collapses the per-leaf adam update (~150 trainable
-    # leaves -> ~300 small multiply_add fusions + copies in the round-3
-    # device trace) into one fused kernel per SHAPE GROUP via leading-axis
-    # stacking (layout-preserving on TPU; optax.flatten's raveling forces
-    # per-leaf re-tiling relayouts and measured SLOWER than tree-adam:
-    # 57.2 vs 75.2 steps/s). Bit-identical to tree-adam (tested).
-    # PM_BENCH_OPT picks the variant for A/B attribution: group | tree.
+    # Plain per-leaf adam is the measured winner for the update itself
+    # (quiet-box A/B, pair chain): tree 75.2 > group_by_shape 70.2 >
+    # optax.flatten 57.2 steps/s. flatten loses to re-tiling relayouts of
+    # every raveled leaf; group_by_shape's leading-axis stacking is
+    # layout-preserving but the per-leaf unstack+apply keeps the
+    # fragmentation while the stack adds copies — XLA's per-leaf adam
+    # schedule is already near its bandwidth floor. PM_BENCH_OPT=group
+    # keeps the A/B reproducible.
     from posterior_matching_tpu.train.optim import group_by_shape
 
     tx = optax.adam(3e-4)
-    if os.environ.get("PM_BENCH_OPT", "group") == "group":
+    if os.environ.get("PM_BENCH_OPT", "tree") == "group":
         tx = group_by_shape(tx)
 
     def _split(p):

@@ -89,7 +89,7 @@ fi
 if [ "${PM_SKIP_WEDGE_RISKY:-0}" = "1" ]; then
     note "SKIP validate_fused (PM_SKIP_WEDGE_RISKY=1)"
 else
-    run_step validate_fused 3600 python datasets/validate_fused_tpu.py
+    run_step validate_vq 1200 python datasets/validate_vq_tpu.py
 fi
 
 note "QUEUE COMPLETE"

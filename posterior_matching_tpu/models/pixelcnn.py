@@ -203,62 +203,51 @@ class PixelCNN(nn.Module):
     # "bfloat16" to run the masked convs on the MXU at bf16 throughput.
     # Logits/log_softmax are always evaluated in float32.
     dtype: Optional[str] = None
-    # Fused Pallas gated blocks (ops/gated_block.py): None = auto (on TPU),
-    # True/False = force, "interpret" = Pallas interpreter (CPU tests).
-    # Checkpoints are identical either way.
-    fused: Optional[Any] = None
     # Fused gated-PAIR chain (ops/gated_chain.py): the whole 2*num_resnet
-    # block chain runs as one Pallas kernel per resnet level (fwd + custom
-    # VJP), dropout generated in-kernel. None = auto (on TPU unless
-    # PM_TPU_FUSED_CHAIN=0), True/False = force, "interpret" = Pallas
-    # interpreter with injected masks (CPU tests). Checkpoints identical.
+    # block chain runs as Pallas segment kernels (fwd + custom VJP), dropout
+    # generated in-kernel. None = auto (on TPU unless PM_TPU_FUSED_CHAIN=0),
+    # True/False = force, "interpret" = Pallas interpreter with injected
+    # masks (CPU tests). Checkpoints identical. (The earlier per-BLOCK
+    # Pallas kernel was retired round 3: numerics exact but a measured
+    # end-to-end loser — pallas_call boundaries at block granularity block
+    # XLA's cross-op fusion, 55.3 vs 69.5 steps/s; the chain/segment
+    # kernels subsume it.)
     fused_chain: Optional[Any] = None
 
     @property
     def _cdtype(self):
         return jnp.dtype(self.dtype) if self.dtype is not None else None
 
-    def _use_fused(self, kernel_size, constraint) -> bool:
-        """Whether to run this block through the fused Pallas kernel."""
-        import os
-
-        mode = self.fused
-        if mode is None:
-            # Auto mode is currently OPT-IN via env (PM_TPU_FUSED_PIXELCNN=1)
-            # while the kernel's on-device behavior is being validated — a
-            # mis-compiling Pallas kernel must not be able to take down
-            # every TPU run by default.
-            mode = (
-                jax.default_backend() == "tpu"
-                and os.environ.get("PM_TPU_FUSED_PIXELCNN") == "1"
-            )
-        if not mode:
-            return False
-        from posterior_matching_tpu.ops.gated_block import plan_taps
-
-        try:
-            plan_taps(kernel_size, *constraint)
-        except ValueError:
-            return False
-        return True
-
     def _use_fused_chain(self, conditional_input) -> bool:
-        """Whether to run the resnet chain through the gated-pair kernels
-        (ops/gated_chain.py). Requires a flat (no hierarchy) topology and a
-        conditional input (every shipped PM-VQVAE config qualifies)."""
+        """Whether to run the resnet chain through the Pallas segment/pair
+        kernels (ops/gated_chain.py). Requires a flat (no hierarchy)
+        topology, a conditional input, and a sliceable tap geometry (every
+        shipped PM-VQVAE config qualifies)."""
         import os
 
         if self.num_hierarchies != 1 or conditional_input is None:
             return False
         mode = self.fused_chain
         if mode is None:
-            # Opt-in while the kernel's on-device behavior is being
-            # validated (same policy the per-block kernel started with).
+            # Default ON for TPU (opt-out PM_TPU_FUSED_CHAIN=0): validated
+            # on-chip round 3 — logits 1.1e-6, grads 5.6e-5 vs the unfused
+            # path at highest precision, PRNG dropout bit-deterministic
+            # (datasets/validate_chain_tpu.py).
             mode = (
                 jax.default_backend() == "tpu"
-                and os.environ.get("PM_TPU_FUSED_CHAIN") == "1"
+                and os.environ.get("PM_TPU_FUSED_CHAIN") != "0"
             )
-        return bool(mode)
+        if not mode:
+            return False
+        from posterior_matching_tpu.ops.gated_block import plan_taps
+
+        rows, cols = self.receptive_field_dims
+        try:
+            plan_taps((2 * rows - 3, cols), (0, rows - 1), (0, cols))
+            plan_taps((3, cols), (0, 2), (0, cols // 2 + 1))
+        except ValueError:
+            return False
+        return True
 
     def _chain_block_params(self, tag, kernel_size, constraint, aux_in,
                             cond_dim):
@@ -394,11 +383,16 @@ class PixelCNN(nn.Module):
         xh = stacks_init["horizontal"]
         xs_v, xs_h = [xv], [xh]
 
-        # PM_TPU_CHAIN_SEGMENT = levels per kernel (1 = pair kernels). The
-        # segment kernels run L levels back-to-back in ONE Pallas kernel
-        # (fwd + custom VJP) — identical numerics and dropout bits to L
-        # sequential pair calls (parity-tested), 1/L the kernel count.
-        seg_sz = max(1, int(os.environ.get("PM_TPU_CHAIN_SEGMENT", "4")))
+        # PM_TPU_CHAIN_SEGMENT = levels per kernel (default 1 = pair
+        # kernels, the measured winner). Segment kernels run L levels
+        # back-to-back in ONE Pallas kernel (fwd + custom VJP) — identical
+        # numerics and dropout bits to L sequential pair calls
+        # (parity-tested, on-chip validated) — but the L=4 body holds
+        # ~65 MB of live VMEM which starves Mosaic's grid double-buffering:
+        # measured END-TO-END 67.9 (L=4) vs 75.2 (pairs) steps/s on the
+        # flagship (BASELINE.md round-3). Kept selectable for shapes where
+        # the balance differs.
+        seg_sz = max(1, int(os.environ.get("PM_TPU_CHAIN_SEGMENT", "1")))
 
         if seg_sz == 1:
             for p in range(n):
@@ -457,71 +451,11 @@ class PixelCNN(nn.Module):
         explicitly named (linen auto-numbering would shift when the optional
         branches are skipped).
 
-        On TPU (or ``fused=True``/``"interpret"``) the whole block runs as
-        one Pallas kernel per direction (ops/gated_block.py) over the SAME
-        ``Conv_0``/Dense params — checkpoints are interchangeable between
-        the fused and unfused paths.
+        On TPU the flat-topology conditional chain runs these blocks through
+        the Pallas segment kernels instead (``_fused_chain``) over the SAME
+        params — checkpoints are interchangeable between the paths.
         """
         f = self.num_filters
-
-        if self._use_fused(kernel_size, constraint):
-            from posterior_matching_tpu.ops.gated_block import (
-                fused_gated_block,
-            )
-
-            # Create the SAME params the unfused modules would (identical
-            # names, shapes, inits) and consume them directly.
-            ce_x = concat_elu(input_x)  # channel-count feed for param shapes
-            wa, ba = _MaskedConv(
-                f, kernel_size, *constraint, dtype=self._cdtype,
-                name=f"{tag}_conv_a",
-            )(ce_x, return_weights=True)
-            wb, bb = _MaskedConv(
-                2 * f, kernel_size, *constraint, dtype=self._cdtype,
-                name=f"{tag}_conv_b",
-            )(ce_x, return_weights=True)
-            waux, ba_eff = None, ba
-            if aux is not None:
-                # aux may carry F (up pass) or 2F (down pass: vertical+skip
-                # concat) channels; the dense sees concat_elu(aux) = 2*AC.
-                waux, baux = _DenseParams(
-                    (2 * aux.shape[-1], f), _trunc_normal_fan_in,
-                    name=f"{tag}_aux",
-                )()
-                # The aux Dense bias folds into conv-a's: a1+ba + ce@W+baux
-                # == a1 + (ba+baux) + ce@W; autodiff routes the shared
-                # cotangent back to both.
-                ba_eff = ba + baux
-
-            cond_vec = None
-            if cond is not None:
-                cond_vec = nn.Dense(
-                    2 * f, kernel_init=nn.initializers.normal(1.0),
-                    dtype=self._cdtype, name=f"{tag}_cond_proj",
-                )(cond.reshape((cond.shape[0], -1)))
-
-            if training and self.dropout > 0.0:
-                keep = 1.0 - self.dropout
-                mask = jax.random.bernoulli(
-                    self.make_rng("dropout"), keep,
-                    (*input_x.shape[:-1], 2 * f),
-                ).astype(input_x.dtype)
-            else:
-                keep = 1.0
-                mask = jnp.ones((*input_x.shape[:-1], 2 * f), input_x.dtype)
-
-            # Slice kernels to the valid region (bit-equivalent to the
-            # masked conv, see _MaskedConv).
-            (r0, r1), (c0, c1) = constraint
-            return fused_gated_block(
-                input_x, aux, cond_vec, mask,
-                wa[r0:r1, c0:c1], ba_eff, waux, wb[r0:r1, c0:c1], bb,
-                kernel_size=kernel_size,
-                valid_rows=(r0, r1), valid_cols=(c0, c1),
-                keep_prob=keep,
-                compute_dtype=self._cdtype or jnp.float32,
-                interpret=(self.fused == "interpret"),
-            )
 
         x = concat_elu(input_x)
         x = _MaskedConv(

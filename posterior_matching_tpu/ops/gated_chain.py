@@ -462,16 +462,21 @@ def _bwd_kernel_factory(cfg: PairConfig, down: bool):
 # ---------------------------------------------------------------------------
 
 
-def _compiler_params():
+def _compiler_params(levels: int = 1):
     """Raise the kernel's scoped-VMEM cap above XLA's 16 MiB default.
 
     At flagship shapes (batch chunk 4, F=128, 16x16 grid) the forward pair's
     working set — double-buffered activation/output blocks plus the resident
     packed weights — measures 19.6 MiB, over the default scoped limit though
-    comfortably inside v5e's physical VMEM (128 MiB).  Mosaic accepts a
-    per-kernel override; env-tunable for smaller parts.
+    comfortably inside v5e's physical VMEM (128 MiB).  SEGMENT kernels hold
+    ``levels`` pairs' weights + per-level saves resident (the L=4 down
+    forward measures 65.2 MiB), so the cap scales with the level count,
+    clamped under the physical VMEM.  Env-tunable for odd parts.
     """
-    limit = int(os.environ.get("PM_TPU_CHAIN_VMEM_MB", "64")) * 2**20
+    default = min(120, 64 + 14 * (levels - 1))
+    limit = int(
+        os.environ.get("PM_TPU_CHAIN_VMEM_MB", str(default))
+    ) * 2**20
     return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 
@@ -699,6 +704,16 @@ def _build_pair(cfg: PairConfig, down: bool, batch: int):
     return pair
 
 
+def _snap_chunk(bc: int, batch: int) -> int:
+    """Largest chunk <= bc that divides batch (grid chunking requires it;
+    snapping instead of raising keeps the default-on TPU path safe for
+    odd eval batch sizes — worst case bc=1)."""
+    bc = min(bc, batch)
+    while batch % bc:
+        bc -= 1
+    return bc
+
+
 def gated_pair(
     xv: jnp.ndarray,
     xh: jnp.ndarray,
@@ -734,7 +749,7 @@ def gated_pair(
         h=h, w=w, f=f, cond_dim=cond.shape[-1],
         taps_v=taps_v, taps_h=taps_h, keep=float(keep),
         cdtype=jnp.dtype(compute_dtype).name,
-        bc_fwd=min(bc_fwd, b), bc_bwd=min(bc_bwd, b),
+        bc_fwd=_snap_chunk(bc_fwd, b), bc_bwd=_snap_chunk(bc_bwd, b),
         mask_mode=mask_mode, interpret=interpret,
     )
     pair = _build_pair(cfg, down, b)
@@ -1029,7 +1044,7 @@ def _build_segment(cfg: PairConfig, down: bool, batch: int, L: int):
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=cfg.interpret,
-            compiler_params=_compiler_params(),
+            compiler_params=_compiler_params(L),
         )(*args)
 
     # ---- backward ---------------------------------------------------------
@@ -1108,7 +1123,7 @@ def _build_segment(cfg: PairConfig, down: bool, batch: int, L: int):
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=cfg.interpret,
-            compiler_params=_compiler_params(),
+            compiler_params=_compiler_params(L),
         )(*args)
 
     # ---- custom_vjp -------------------------------------------------------
@@ -1225,7 +1240,7 @@ def gated_segment(
         h=h, w=w, f=f, cond_dim=cond.shape[-1],
         taps_v=taps_v, taps_h=taps_h, keep=float(keep),
         cdtype=jnp.dtype(compute_dtype).name,
-        bc_fwd=min(bc_fwd, b), bc_bwd=min(bc_bwd, b),
+        bc_fwd=_snap_chunk(bc_fwd, b), bc_bwd=_snap_chunk(bc_bwd, b),
         mask_mode=mask_mode, interpret=interpret,
     )
     seg = _build_segment(cfg, down, b, L)

@@ -83,7 +83,7 @@ def nearest_codebook_indices(
     z: jnp.ndarray, codebook: jnp.ndarray, use_pallas: bool = None
 ) -> jnp.ndarray:
     """Dispatcher. Default is the XLA path everywhere: on-TPU measurement at
-    the flagship shape (N=8192, K=512, D=64; datasets/validate_fused_tpu.py,
+    the flagship shape (N=8192, K=512, D=64; datasets/validate_vq_tpu.py,
     2026-08-18) shows XLA at 1019 us vs the Pallas kernel's 1488 us — the
     [N, K] score matrix fits comfortably in cache-friendly tiles at these
     sizes, so XLA's fused matmul+argmax wins. Both paths are exact-matched

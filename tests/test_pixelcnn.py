@@ -179,9 +179,11 @@ def test_sliced_kernel_gradients_match_masked():
 
 
 def test_fused_network_matches_unfused():
-    """The full PixelCNN with fused Pallas gated blocks (interpret mode)
-    must produce the same params tree AND the same logits as the unfused
-    path — checkpoints are interchangeable."""
+    """The full PixelCNN with the fused Pallas CHAIN (segment kernels,
+    interpret mode) must produce the same params tree AND the same logits
+    as the unfused path — checkpoints are interchangeable. (The retired
+    per-block kernel's coverage moved here to the chain path; see
+    ops/gated_block.py docstring.)"""
     kwargs = dict(
         num_indices=8,
         image_shape=(8, 8),
@@ -191,7 +193,7 @@ def test_fused_network_matches_unfused():
         num_filters=16,
     )
     plain = PixelCNN(**kwargs)
-    fused = PixelCNN(fused="interpret", **kwargs)
+    fused = PixelCNN(fused_chain="interpret", **kwargs)
 
     x = jnp.asarray(
         np.random.RandomState(0).randint(0, 8, (2, 8, 8)), jnp.int32
