@@ -299,6 +299,7 @@ class PixelCNN(nn.Module):
         from posterior_matching_tpu.ops.gated_chain import (
             gated_pair,
             gated_segment,
+            gated_stream,
         )
 
         f = self.num_filters
@@ -392,7 +393,34 @@ class PixelCNN(nn.Module):
         # measured END-TO-END 67.9 (L=4) vs 75.2 (pairs) steps/s on the
         # flagship (BASELINE.md round-3). Kept selectable for shapes where
         # the balance differs.
-        seg_sz = max(1, int(os.environ.get("PM_TPU_CHAIN_SEGMENT", "1")))
+        # "stream" = the streamed (level, chunk)-grid kernels: ONE kernel
+        # per direction with per-level weights streamed by the level grid
+        # index and the xv/xh carry in VMEM scratch — pair-sized working
+        # set with 1/12th the launches (ops/gated_chain.py::gated_stream).
+        seg_env = os.environ.get("PM_TPU_CHAIN_SEGMENT", "1")
+        if seg_env == "stream":
+            def stream_masks():
+                # same per-level RNG consumption order as the pair path
+                ms = [masks_for(xv.shape) for _ in range(n)]
+                return ms if ms[0] is not None else None
+
+            up_outs = gated_stream(
+                xv, xh, None, cond2d,
+                [pack_pair("up", p, False) for p in range(n)],
+                seed, 0, masks=stream_masks(), **common,
+            )
+            xs_v += [o[0] for o in up_outs]
+            xs_h += [o[1] for o in up_outs]
+            xv, xh = up_outs[-1]
+            dn_outs = gated_stream(
+                xv, xh,
+                [(xs_v[n - 1 - p], xs_h[n - 1 - p]) for p in range(n)],
+                cond2d,
+                [pack_pair("dn", p, True) for p in range(n)],
+                seed, n, masks=stream_masks(), **common,
+            )
+            return dn_outs[-1][1]
+        seg_sz = max(1, int(seg_env))
 
         if seg_sz == 1:
             for p in range(n):

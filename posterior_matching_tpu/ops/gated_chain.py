@@ -259,7 +259,8 @@ def _proj(cond, wc_ref, cdtype):
     return _dot(cond.astype(cdtype), wc_ref[:].astype(cdtype))
 
 
-def _masks_for_chunk(cfg: PairConfig, bc, meta_ref, sub_block, pair_offset=0):
+def _masks_for_chunk(cfg: PairConfig, bc, meta_ref, sub_block, pair_offset=0,
+                     chunk_pid=None):
     """In-kernel per-image dropout masks for the current chunk.
 
     Seeded (step_seed, block_id, global_image) PER IMAGE so the realized
@@ -268,7 +269,10 @@ def _masks_for_chunk(cfg: PairConfig, bc, meta_ref, sub_block, pair_offset=0):
     sub_block disambiguates the vertical/horizontal draws; ``pair_offset``
     adds the level index inside a multi-level SEGMENT kernel (segments seed
     identically to the equivalent pair-kernel sequence, so the two paths
-    realize bit-identical dropout).
+    realize bit-identical dropout).  ``chunk_pid`` overrides which grid
+    axis carries the batch chunk (the STREAMED kernels grid over
+    (level, chunk), so the chunk is program_id(1) there); ``pair_offset``
+    may be a traced value (the streamed level index).
 
     The Mosaic on current libtpu accepts at most TWO prng_seed words, so
     block_id and the global image index are packed into one: images get the
@@ -276,10 +280,12 @@ def _masks_for_chunk(cfg: PairConfig, bc, meta_ref, sub_block, pair_offset=0):
     headroom before any collision is possible)."""
     hw = cfg.h * cfg.w
     thresh = np.uint32(min(int(cfg.keep * (2.0 ** 32)), 2 ** 32 - 1))
+    if chunk_pid is None:
+        chunk_pid = pl.program_id(0)
     parts = []
     for im in range(bc):
         block_id = (meta_ref[1] + pair_offset) * 2 + sub_block
-        image_id = pl.program_id(0) * bc + im
+        image_id = chunk_pid * bc + im
         pltpu.prng_seed(meta_ref[0], block_id * (2 ** 20) + image_id)
         # On-chip the raw bits surface as int32 — bitcast to uint32 before
         # the threshold compare or keep=0.5 (thresh exactly 2^31) degenerates
@@ -1271,3 +1277,519 @@ def gated_segment(
     outs = seg(meta, *flat)
     back = lambda t: t.reshape(b, h, w, f)
     return [(back(xvl), back(xhl)) for xvl, xhl in outs]
+
+
+# ---------------------------------------------------------------------------
+# STREAMED chain kernels: the whole L-level chain in ONE kernel per direction,
+# pair-sized VMEM
+# ---------------------------------------------------------------------------
+#
+# The round-3 on-chip A/B (BASELINE.md) showed why resident SEGMENT kernels
+# lose: L=4 holds ~65 MB of live VMEM (L levels' weights + saves), which
+# starves Mosaic's grid double-buffering — fewer launches don't pay for the
+# lost DMA/compute overlap.  The streamed kernels instead grid over
+# ``(level, chunk)`` with the chunk axis fastest:
+#
+# - per-level weights are STACKED to rank-3 ``[L, rows, cols]`` arrays and
+#   streamed by the level grid index (``(1, rows, cols)`` blocks — the tail
+#   equals the array's, the same Mosaic tiling rule ``cond_spec`` exploits),
+#   so exactly ONE level's weights are resident, with Mosaic prefetching the
+#   next level's during compute;
+# - the xv/xh carry between levels lives in a full-batch VMEM scratch
+#   (forward) — the backward carries dv/dh the same way — so the only HBM
+#   activation traffic is the per-level saves the backward needs anyway;
+# - per-level weight GRADIENTS accumulate in a resident output block: with
+#   the chunk axis fastest, all chunk visits of one level are consecutive,
+#   so Mosaic keeps the dW block in VMEM across the sweep and flushes it
+#   once per level (the standard Pallas accumulation pattern, per level
+#   instead of per call).
+#
+# Numerics, saves, and PRNG dropout seeding are IDENTICAL to the pair path
+# (block_id = (base_pair + level)*2 + sub_block with the level index now a
+# traced grid value), so pair / segment / streamed are interchangeable per
+# checkpoint and parity-tested against each other.  One kernel call covers
+# the full up pass and one the full down pass: 48 pair launches -> 4.
+
+
+class _Lvl:
+    """Adapter presenting one level's ``[1, rows, cols]`` block of a stacked
+    rank-3 ref as the rank-2 ref the pair helpers address."""
+
+    __slots__ = ("ref",)
+
+    def __init__(self, ref):
+        self.ref = ref
+
+    def _idx(self, idx):
+        return (0, *(idx if isinstance(idx, tuple) else (idx,)))
+
+    def __getitem__(self, idx):
+        return self.ref[self._idx(idx)]
+
+    def __setitem__(self, idx, value):
+        self.ref[self._idx(idx)] = value
+
+    @property
+    def dtype(self):
+        return self.ref.dtype
+
+
+def _stream_fwd_kernel_factory(cfg: PairConfig, down: bool, L: int):
+    bc = cfg.bc_fwd
+    bchw = bc * cfg.h * cfg.w
+    cdtype = jnp.dtype(cfg.cdtype)
+    use_mask = cfg.keep < 1.0
+    wnames = [n for n, _ in _weight_shapes(cfg, down)]
+
+    def kernel(*refs):
+        it = iter(refs)
+        meta_ref = next(it)
+        xv0_ref, xh0_ref = next(it), next(it)
+        if down:
+            skv_ref, skh_ref = next(it), next(it)
+        cond_ref = next(it)
+        w = {n: _Lvl(next(it)) for n in wnames}
+        if use_mask and cfg.mask_mode == "input":
+            mv_ref, mh_ref = next(it), next(it)
+        (xvi_ref, xhi_ref, xvo_ref, xho_ref,
+         a1v_ref, a1h_ref, b1v_ref, b1h_ref) = (next(it) for _ in range(8))
+        xv_scr, xh_scr = next(it), next(it)
+
+        l = pl.program_id(0)
+        i = pl.program_id(1)
+        rows = pl.ds(i * bchw, bchw)
+
+        if not use_mask:
+            mv = mh = None
+        elif cfg.mask_mode == "input":
+            mv = mv_ref[:].astype(f32)
+            mh = mh_ref[:].astype(f32)
+        else:
+            mv = _masks_for_chunk(cfg, bc, meta_ref, 0, pair_offset=l,
+                                  chunk_pid=i)
+            mh = _masks_for_chunk(cfg, bc, meta_ref, 1, pair_offset=l,
+                                  chunk_pid=i)
+
+        # level 0 reads the chain input; later levels read the VMEM carry
+        xv = jnp.where(l == 0, xv0_ref[:], xv_scr[rows])
+        xh = jnp.where(l == 0, xh0_ref[:], xh_scr[rows])
+
+        cond2d = cond_ref[:].reshape(bc, cfg.cond_dim)
+        aux_v = [(skv_ref[:], w["wxv"])] if down else []
+        xv_new, a1v, b1v = _block_fwd(
+            cfg, cfg.taps_v, bc, xv, aux_v,
+            _proj(cond2d, w["wcv"], cdtype), mv,
+            w["wav"], w["bav"], w["wbv"], w["bbv"],
+        )
+        aux_h = [(xv_new, w["wxh_u"])]
+        if down:
+            aux_h.append((skh_ref[:], w["wxh_s"]))
+        xh_new, a1h, b1h = _block_fwd(
+            cfg, cfg.taps_h, bc, xh, aux_h,
+            _proj(cond2d, w["wch"], cdtype), mh,
+            w["wah"], w["bah"], w["wbh"], w["bbh"],
+        )
+
+        xvi_ref[:] = xv
+        xhi_ref[:] = xh
+        xvo_ref[:] = xv_new
+        xho_ref[:] = xh_new
+        a1v_ref[:] = a1v
+        a1h_ref[:] = a1h
+        b1v_ref[:] = b1v
+        b1h_ref[:] = b1h
+        xv_scr[rows] = xv_new
+        xh_scr[rows] = xh_new
+
+    return kernel
+
+
+def _stream_bwd_kernel_factory(cfg: PairConfig, down: bool, L: int):
+    bc = cfg.bc_bwd
+    bchw = bc * cfg.h * cfg.w
+    cdtype = jnp.dtype(cfg.cdtype)
+    use_mask = cfg.keep < 1.0
+    hw = cfg.h * cfg.w
+    f = cfg.f
+    wnames_all = [n for n, _ in _weight_shapes(cfg, down)]
+    wnames_bwd = [n for n in wnames_all if not n.startswith("b")]
+
+    def kernel(*refs):
+        it = iter(refs)
+        meta_ref = next(it)
+        gv_ref, gh_ref = next(it), next(it)
+        xvi_ref, xhi_ref, xvn_ref = next(it), next(it), next(it)
+        if down:
+            skv_ref, skh_ref = next(it), next(it)
+        cond_ref = next(it)
+        a1v_ref, a1h_ref, b1v_ref, b1h_ref = (next(it) for _ in range(4))
+        w = {n: _Lvl(next(it)) for n in wnames_bwd}
+        if use_mask and cfg.mask_mode == "input":
+            mv_ref, mh_ref = next(it), next(it)
+        dgv_ref, dgh_ref = next(it), next(it)
+        if down:
+            dskv_ref, dskh_ref = next(it), next(it)
+        dcond_ref = next(it)
+        dw = {n: _Lvl(next(it)) for n in wnames_all}
+        dv_scr, dh_scr = next(it), next(it)
+
+        j = pl.program_id(0)          # reversed: actual level = L - 1 - j
+        i = pl.program_id(1)
+        l = (L - 1) - j
+        rows = pl.ds(i * bchw, bchw)
+
+        @pl.when(i == 0)
+        def _init():
+            for ad in dw.values():
+                ad.ref[:] = jnp.zeros(ad.ref.shape, ad.ref.dtype)
+
+        if not use_mask:
+            mv = mh = None
+        elif cfg.mask_mode == "input":
+            mv = mv_ref[:].astype(f32)
+            mh = mh_ref[:].astype(f32)
+        else:
+            mv = _masks_for_chunk(cfg, bc, meta_ref, 0, pair_offset=l,
+                                  chunk_pid=i)
+            mh = _masks_for_chunk(cfg, bc, meta_ref, 1, pair_offset=l,
+                                  chunk_pid=i)
+
+        # external cotangent for this level's outputs + the chain carry
+        # (zero at the last level); matches the segment kernel's
+        # ``dv + dv_ext`` f32 addition order.
+        dv_ext = gv_ref[:].astype(f32)
+        dh_ext = gh_ref[:].astype(f32)
+        dv = jnp.where(j == 0, dv_ext, dv_scr[rows].astype(f32) + dv_ext)
+        dh = jnp.where(j == 0, dh_ext, dh_scr[rows].astype(f32) + dh_ext)
+
+        cond = cond_ref[:].reshape(bc, cfg.cond_dim).astype(cdtype)
+        xv_in = xvi_ref[:]
+        xh_in = xhi_ref[:]
+        xv_new = xvn_ref[:]
+
+        aux_h = [(xv_new, w["wxh_u"], dw["wxh_u"])]
+        if down:
+            aux_h.append((skh_ref[:], w["wxh_s"], dw["wxh_s"]))
+        dxh, dauxes_h, db1h = _block_bwd(
+            cfg, cfg.taps_h, bc, dh, xh_in, aux_h, mh,
+            a1h_ref[:], b1h_ref[:], w["wah"], w["wbh"],
+            dw["wah"], dw["bah"], dw["wbh"], dw["bbh"],
+        )
+        rs_h = db1h.reshape(bc, hw, 2 * f).sum(axis=1)
+        dw["wch"][:] += _dot_t(cond, rs_h.astype(cdtype))
+        if down:
+            dskh_ref[:] = dauxes_h[1].astype(dskh_ref.dtype)
+
+        gv_total = dv + dauxes_h[0]
+        aux_v = [(skv_ref[:], w["wxv"], dw["wxv"])] if down else []
+        dxv, dauxes_v, db1v = _block_bwd(
+            cfg, cfg.taps_v, bc, gv_total, xv_in, aux_v, mv,
+            a1v_ref[:], b1v_ref[:], w["wav"], w["wbv"],
+            dw["wav"], dw["bav"], dw["wbv"], dw["bbv"],
+        )
+        rs_v = db1v.reshape(bc, hw, 2 * f).sum(axis=1)
+        dw["wcv"][:] += _dot_t(cond, rs_v.astype(cdtype))
+        if down:
+            dskv_ref[:] = dauxes_v[0].astype(dskv_ref.dtype)
+
+        dc = _dot(rs_v.astype(cdtype), w["wcv"][:].astype(cdtype).T) + _dot(
+            rs_h.astype(cdtype), w["wch"][:].astype(cdtype).T
+        )
+        dcond_ref[:] = dc.reshape(bc, 1, cfg.cond_dim).astype(dcond_ref.dtype)
+
+        dgv_ref[:] = dxv.astype(dgv_ref.dtype)
+        dgh_ref[:] = dxh.astype(dgh_ref.dtype)
+        dv_scr[rows] = dxv.astype(cdtype)
+        dh_scr[rows] = dxh.astype(cdtype)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _build_stream(cfg: PairConfig, down: bool, batch: int, L: int):
+    """Builds the custom_vjp'd STREAMED chain for one static config.
+
+    Returned callable signature (kernel-native layouts)::
+
+        fn(meta, xv0, xh0, [skv_s, skh_s,] cond, *stacked_weights
+           [, mv_s, mh_s]) -> (xv_outs, xh_outs)
+
+    Activations/saves are flat-stacked ``[L*batch*hw, cols]`` (level-major);
+    weights are rank-3 ``[L, rows, cols]`` stacks of the pair weights; cond
+    is ``[batch, cond_dim]``.  meta: [2] int32 = (step_seed, BASE pair
+    index).  Returns the stacked per-level outputs; external cotangents for
+    any level (skip consumers) enter through the stacked output cotangent.
+    """
+    h, w, f, cd = cfg.h, cfg.w, cfg.f, cfg.cond_dim
+    hw = h * w
+    cdtype = jnp.dtype(cfg.cdtype)
+    use_mask_inputs = cfg.keep < 1.0 and cfg.mask_mode == "input"
+    wshapes = _weight_shapes(cfg, down)
+    wnames_all = [n for n, _ in wshapes]
+    wnames_bwd = [n for n in wnames_all if not n.startswith("b")]
+    shp = dict(wshapes)
+    n_w = len(wshapes)
+
+    if batch % cfg.bc_fwd or batch % cfg.bc_bwd:
+        raise ValueError(
+            f"batch {batch} not divisible by chunk sizes "
+            f"({cfg.bc_fwd}, {cfg.bc_bwd})"
+        )
+    ncf = batch // cfg.bc_fwd
+    ncb = batch // cfg.bc_bwd
+
+    def chunk_spec(bc, cols):
+        # chain input/output: one batch chunk, same block for every level
+        return pl.BlockSpec((bc * hw, cols), lambda l, i: (i, 0))
+
+    def lvl_spec(bc, cols, nc, rev=False):
+        # level-major stacked activations [L*batch*hw, cols]
+        if rev:
+            return pl.BlockSpec(
+                (bc * hw, cols), lambda l, i: ((L - 1 - l) * nc + i, 0)
+            )
+        return pl.BlockSpec((bc * hw, cols), lambda l, i: (l * nc + i, 0))
+
+    def w_spec(name, rev=False):
+        rows, cols = shp[name]
+        if rev:
+            return pl.BlockSpec(
+                (1, rows, cols), lambda l, i: (L - 1 - l, 0, 0)
+            )
+        return pl.BlockSpec((1, rows, cols), lambda l, i: (l, 0, 0))
+
+    def cond_spec(bc):
+        return pl.BlockSpec((bc, 1, cd), lambda l, i: (i, 0, 0))
+
+    # ---- forward ----------------------------------------------------------
+    fwd_kernel = _stream_fwd_kernel_factory(cfg, down, L)
+
+    def fwd_call(meta, xv0, xh0, skips_s, cond, weights_s, masks_s):
+        bc = cfg.bc_fwd
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        args = [meta]
+        for a in (xv0, xh0):
+            in_specs.append(chunk_spec(bc, f))
+            args.append(a)
+        if down:
+            for a in skips_s:
+                in_specs.append(lvl_spec(bc, f, ncf))
+                args.append(a)
+        in_specs.append(cond_spec(bc))
+        args.append(cond.reshape(batch, 1, cd))
+        for n in wnames_all:
+            in_specs.append(w_spec(n))
+            args.append(weights_s[n])
+        if use_mask_inputs:
+            for m in masks_s:
+                in_specs.append(lvl_spec(bc, 2 * f, ncf))
+                args.append(m)
+
+        out_specs, out_shape = [], []
+        for cols in (f, f, f, f, f, f, 2 * f, 2 * f):
+            # xvi, xhi, xvo, xho, a1v, a1h, b1v, b1h
+            out_specs.append(lvl_spec(bc, cols, ncf))
+            out_shape.append(
+                jax.ShapeDtypeStruct((L * batch * hw, cols), cdtype)
+            )
+        return pl.pallas_call(
+            fwd_kernel,
+            grid=(L, ncf),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((batch * hw, f), cdtype),
+                pltpu.VMEM((batch * hw, f), cdtype),
+            ],
+            interpret=cfg.interpret,
+            compiler_params=_compiler_params(),
+        )(*args)
+
+    # ---- backward ---------------------------------------------------------
+    bwd_kernel = _stream_bwd_kernel_factory(cfg, down, L)
+
+    def bwd_call(meta, gv_s, gh_s, saves, skips_s, cond, weights_s, masks_s):
+        bc = cfg.bc_bwd
+        xvi, xhi, xvo, a1v, a1h, b1v, b1h = saves
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        args = [meta]
+        for a in (gv_s, gh_s, xvi, xhi, xvo):
+            in_specs.append(lvl_spec(bc, f, ncb, rev=True))
+            args.append(a)
+        if down:
+            for a in skips_s:
+                in_specs.append(lvl_spec(bc, f, ncb, rev=True))
+                args.append(a)
+        in_specs.append(cond_spec(bc))
+        args.append(cond.reshape(batch, 1, cd))
+        for a, cols in ((a1v, f), (a1h, f), (b1v, 2 * f), (b1h, 2 * f)):
+            in_specs.append(lvl_spec(bc, cols, ncb, rev=True))
+            args.append(a)
+        for n in wnames_bwd:
+            in_specs.append(w_spec(n, rev=True))
+            args.append(weights_s[n])
+        if use_mask_inputs:
+            for m in masks_s:
+                in_specs.append(lvl_spec(bc, 2 * f, ncb, rev=True))
+                args.append(m)
+
+        out_specs = [chunk_spec(bc, f), chunk_spec(bc, f)]   # dgv, dgh
+        out_shape = [
+            jax.ShapeDtypeStruct((batch * hw, f), cdtype),
+            jax.ShapeDtypeStruct((batch * hw, f), cdtype),
+        ]
+        if down:
+            for _ in range(2):                               # dskv_s, dskh_s
+                out_specs.append(lvl_spec(bc, f, ncb, rev=True))
+                out_shape.append(
+                    jax.ShapeDtypeStruct((L * batch * hw, f), cdtype)
+                )
+        # per-(level, chunk) dcond blocks, summed over levels outside
+        out_specs.append(
+            pl.BlockSpec(
+                (bc, 1, cd), lambda l, i: ((L - 1 - l) * ncb + i, 0, 0)
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((L * batch, 1, cd), f32))
+        for n in wnames_all:                                 # stacked dW
+            rows, cols = shp[n]
+            out_specs.append(w_spec(n, rev=True))
+            out_shape.append(jax.ShapeDtypeStruct((L, rows, cols), f32))
+
+        return pl.pallas_call(
+            bwd_kernel,
+            grid=(L, ncb),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((batch * hw, f), cdtype),
+                pltpu.VMEM((batch * hw, f), cdtype),
+            ],
+            interpret=cfg.interpret,
+            compiler_params=_compiler_params(),
+        )(*args)
+
+    # ---- custom_vjp -------------------------------------------------------
+    n_sk = 2 if down else 0
+
+    def _split(flat):
+        xv0, xh0 = flat[0], flat[1]
+        skips_s = (flat[2], flat[3]) if down else None
+        cond = flat[2 + n_sk]
+        woff = 3 + n_sk
+        weights_s = dict(zip(wnames_all, flat[woff : woff + n_w]))
+        masks_s = flat[woff + n_w :] if use_mask_inputs else None
+        return xv0, xh0, skips_s, cond, weights_s, masks_s
+
+    @jax.custom_vjp
+    def stream(meta, *flat):
+        xv0, xh0, skips_s, cond, weights_s, masks_s = _split(flat)
+        outs = fwd_call(meta, xv0, xh0, skips_s, cond, weights_s, masks_s)
+        return outs[2], outs[3]
+
+    def stream_fwd(meta, *flat):
+        xv0, xh0, skips_s, cond, weights_s, masks_s = _split(flat)
+        outs = fwd_call(meta, xv0, xh0, skips_s, cond, weights_s, masks_s)
+        xvi, xhi, xvo, xho, a1v, a1h, b1v, b1h = outs
+        saves = (xvi, xhi, xvo, a1v, a1h, b1v, b1h)
+        res = (meta, saves, skips_s, cond, weights_s, masks_s)
+        return (xvo, xho), res
+
+    def stream_bwd(res, g):
+        meta, saves, skips_s, cond, weights_s, masks_s = res
+        gv_s, gh_s = (t.astype(cdtype) for t in g)
+        outs = bwd_call(
+            meta, gv_s, gh_s, saves, skips_s, cond, weights_s, masks_s
+        )
+        it = iter(outs)
+        grads = [next(it), next(it)]                  # dxv0, dxh0
+        if down:
+            grads.append(next(it))                    # dskv_s
+            grads.append(next(it))                    # dskh_s
+        dcond = next(it).reshape(L, batch, cd).sum(axis=0)
+        grads.append(dcond)
+        for _ in wnames_all:
+            grads.append(next(it))
+        if use_mask_inputs:
+            for m in masks_s:
+                grads.append(jnp.zeros_like(m))
+        dmeta = np.zeros((2,), jax.dtypes.float0)
+        return (dmeta, *grads)
+
+    stream.defvjp(stream_fwd, stream_bwd)
+    return stream
+
+
+def gated_stream(
+    xv: jnp.ndarray,
+    xh: jnp.ndarray,
+    skips,                        # None (up) or [(skv_l, skh_l)] * L (down)
+    cond: jnp.ndarray,
+    weights,                      # [dict] * L matching _weight_shapes names
+    seed: jnp.ndarray,
+    base_pair_index: int,
+    *,
+    keep: float,
+    compute_dtype=jnp.float32,
+    bc_fwd: int = 4,
+    bc_bwd: int = 2,
+    mask_mode: str = "prng",
+    masks=None,                   # [(mv_l, mh_l)] * L when mask_mode=input
+    interpret: bool = False,
+    receptive_field_dims: Tuple[int, int] = (3, 3),
+):
+    """L consecutive gated-pair levels as ONE streamed fwd kernel + ONE
+    streamed bwd kernel (grid over (level, chunk), per-level weights
+    streamed, xv/xh carried in VMEM scratch).  Drop-in equivalent of L
+    sequential :func:`gated_pair` calls with pair indices
+    ``base_pair_index .. base_pair_index + L - 1`` (identical numerics,
+    saves, and PRNG dropout bits).  Returns the per-level
+    ``(new_vertical, new_horizontal)`` tuples, each [B, H, W, F]."""
+    b, h, w_, f = xv.shape
+    hw = h * w_
+    L = len(weights)
+    rows_, cols_ = receptive_field_dims
+    taps_v = plan_taps((2 * rows_ - 3, cols_), (0, rows_ - 1), (0, cols_))
+    taps_h = plan_taps((3, cols_), (0, 2), (0, cols_ // 2 + 1))
+    down = skips is not None
+    cfg = PairConfig(
+        h=h, w=w_, f=f, cond_dim=cond.shape[-1],
+        taps_v=taps_v, taps_h=taps_h, keep=float(keep),
+        cdtype=jnp.dtype(compute_dtype).name,
+        bc_fwd=_snap_chunk(bc_fwd, b), bc_bwd=_snap_chunk(bc_bwd, b),
+        mask_mode=mask_mode, interpret=interpret,
+    )
+    fn = _build_stream(cfg, down, b, L)
+
+    cdtype = jnp.dtype(compute_dtype)
+    meta = jnp.stack(
+        [jnp.asarray(seed, jnp.int32).reshape(()),
+         jnp.asarray(base_pair_index, jnp.int32)]
+    )
+    flat2 = lambda t: t.reshape(b * hw, t.shape[-1]).astype(cdtype)
+    stack2 = lambda ts: jnp.concatenate([flat2(t) for t in ts], axis=0)
+    flat = [flat2(xv), flat2(xh)]
+    if down:
+        flat.append(stack2([skv for skv, _ in skips]))
+        flat.append(stack2([skh for _, skh in skips]))
+    flat.append(cond.astype(cdtype))
+    for name, shp_ in _weight_shapes(cfg, down):
+        ws = []
+        for wl in weights:
+            wt = wl[name]
+            if wt.shape != shp_:
+                raise ValueError(f"{name}: expected {shp_}, got {wt.shape}")
+            ws.append(
+                wt.astype(f32) if name.startswith("b") else wt.astype(cdtype)
+            )
+        flat.append(jnp.stack(ws))
+    if cfg.keep < 1.0 and mask_mode == "input":
+        flat.append(stack2([mv for mv, _ in masks]))
+        flat.append(stack2([mh for _, mh in masks]))
+
+    xvo_s, xho_s = fn(meta, *flat)
+    xvo = xvo_s.reshape(L, b, h, w_, f)
+    xho = xho_s.reshape(L, b, h, w_, f)
+    return [(xvo[l], xho[l]) for l in range(L)]

@@ -277,3 +277,42 @@ def test_segment_matches_pair_path(monkeypatch):
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
                 err_msg=f"grad mismatch at {pa} (dropout={dropout})",
             )
+
+
+def test_stream_matches_pair_path(monkeypatch):
+    """The STREAMED chain kernels (PM_TPU_CHAIN_SEGMENT=stream: one
+    (level, chunk)-grid kernel per direction, weights streamed by the level
+    index, xv/xh carry in VMEM scratch) must reproduce the validated
+    pair-kernel path exactly: same logits, same grads, same dropout-mask
+    consumption order (interpret mode, dropout-free and injected-mask)."""
+    x, cond = _data()
+    for dropout, kseed in ((0.0, 0), (0.5, 7)):
+        model = PixelCNN(dropout=dropout, fused_chain="interpret", **KW)
+        variables = model.init(jax.random.PRNGKey(0), x, cond)
+
+        def run(seg):
+            monkeypatch.setenv("PM_TPU_CHAIN_SEGMENT", str(seg))
+
+            def f(v, x, c):
+                out = model.apply(
+                    v, x, c, training=dropout > 0,
+                    rngs={"dropout": jax.random.PRNGKey(kseed)},
+                )
+                return jnp.mean(out ** 2)
+
+            val, grads = jax.value_and_grad(f)(variables, x, cond)
+            return val, grads
+
+        v1, g1 = run(1)          # pair kernels
+        v2, g2 = run("stream")   # streamed chain
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(v2), rtol=1e-6
+        )
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g1),
+            jax.tree_util.tree_leaves_with_path(g2),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                err_msg=f"grad mismatch at {pa} (dropout={dropout})",
+            )
