@@ -384,20 +384,22 @@ class PixelCNN(nn.Module):
         xh = stacks_init["horizontal"]
         xs_v, xs_h = [xv], [xh]
 
-        # PM_TPU_CHAIN_SEGMENT = levels per kernel (default 1 = pair
-        # kernels, the measured winner). Segment kernels run L levels
-        # back-to-back in ONE Pallas kernel (fwd + custom VJP) — identical
-        # numerics and dropout bits to L sequential pair calls
-        # (parity-tested, on-chip validated) — but the L=4 body holds
-        # ~65 MB of live VMEM which starves Mosaic's grid double-buffering:
-        # measured END-TO-END 67.9 (L=4) vs 75.2 (pairs) steps/s on the
-        # flagship (BASELINE.md round-3). Kept selectable for shapes where
-        # the balance differs.
-        # "stream" = the streamed (level, chunk)-grid kernels: ONE kernel
-        # per direction with per-level weights streamed by the level grid
-        # index and the xv/xh carry in VMEM scratch — pair-sized working
-        # set with 1/12th the launches (ops/gated_chain.py::gated_stream).
-        seg_env = os.environ.get("PM_TPU_CHAIN_SEGMENT", "1")
+        # PM_TPU_CHAIN_SEGMENT selects the chain kernel granularity.
+        # Default "stream" (the measured winner, 78.2 vs 75.2 steps/s
+        # flagship end-to-end): the streamed (level, chunk)-grid kernels —
+        # ONE kernel per direction with per-level weights streamed by the
+        # level grid index and the xv/xh carry in VMEM scratch — pair-sized
+        # working set with 1/12th the launches
+        # (ops/gated_chain.py::gated_stream); on-chip validated (fwd
+        # 1.1e-6, grads 5.6e-5 at highest precision, PRNG dropout
+        # bit-deterministic, datasets/validate_chain_tpu.py).
+        # Integer L = segment kernels running L levels back-to-back per
+        # launch (L=1 -> pair kernels, the previous default). Identical
+        # numerics and dropout bits across all modes (parity-tested). The
+        # L=4 body holds ~65 MB of live VMEM which starves Mosaic's grid
+        # double-buffering: measured END-TO-END 67.9 (L=4) vs 75.2 (pairs)
+        # vs 78.2 (stream) steps/s on the flagship (BASELINE.md round-3).
+        seg_env = os.environ.get("PM_TPU_CHAIN_SEGMENT", "stream")
         if seg_env == "stream":
             def stream_masks():
                 # same per-level RNG consumption order as the pair path
