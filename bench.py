@@ -43,6 +43,10 @@ import numpy as np
 # round end; the compile (cached) dominates wall time, not the timed region.
 N_DISPATCH = 30
 CHUNK = 20
+# Chunked variants time this many dispatches (x CHUNK optimizer steps each);
+# raised from 3 to 10 (VERDICT r3 weak #5: the headline deserves a thicker
+# sample — 200 timed steps is still <3 s at ~80 steps/s).
+N_DISPATCH_CHUNKED = 10
 
 # Recorded host-pipeline baseline (BASELINE.md, measured 2026-08-16 on the
 # same chip/workload) — used for vs_baseline ONLY if the live host-pipeline
@@ -53,6 +57,19 @@ CHUNK = 20
 # identical code). Taking max(live, recorded-best) keeps vs_baseline
 # CONSERVATIVE — a slow relay day inflates the ratio, never the other way.
 RECORDED_HOST_STEPS_PER_SEC = 24.4
+
+# Step FLOPs of the flagship training step (fwd+bwd+update), measured from
+# the round-3 device trace cost analysis (datasets/profile_cost_analysis.py,
+# BASELINE.md: 1206 GFLOP/step). Used for the MFU field.
+FLOPS_PER_STEP = 1.206e12
+# Dense bf16 peak of one TPU v5e chip (197 TFLOP/s MXU).
+TPU_V5E_BF16_PEAK = 197e12
+
+# Recorded eval-sampler throughput (datasets/bench_eval_sampling.py,
+# BASELINE.md 2026-08-16: fast cached sampler, 0.145 s/batch of 320 grids).
+# Fallback for the eval_grids_per_sec field when the live measurement is
+# skipped (budget) or fails; provenance is stamped either way.
+RECORDED_EVAL_GRIDS_PER_SEC = 2211.0
 
 
 def build(compute_dtype=None):
@@ -242,6 +259,8 @@ def _time_fused(
 # ---------------------------------------------------------------------------
 
 def run_variant(name):
+    if name == "eval_sampler":
+        return run_eval_sampler()
     import jax
     import jax.numpy as jnp
 
@@ -254,7 +273,7 @@ def run_variant(name):
     if name.startswith("chunked"):
         sps = _time_fused(
             jax, jnp, params, state, opt_state, fused_chunk, images,
-            max(N_DISPATCH // CHUNK, 3), steps_per_call=CHUNK,
+            N_DISPATCH_CHUNKED, steps_per_call=CHUNK,
         )
     elif name.startswith("fused"):
         sps = _time_fused(
@@ -279,28 +298,78 @@ def run_variant(name):
         sps = N_DISPATCH / (time.perf_counter() - t0)
     else:
         raise ValueError(f"unknown variant {name!r}")
-    print(json.dumps({"steps_per_sec": sps}))
+    print(json.dumps(
+        {"steps_per_sec": sps, "platform": jax.default_backend()}
+    ))
+
+
+def run_eval_sampler():
+    """Times the fast cached PixelCNN imputation sampler at the eval-protocol
+    shapes (batch 32 x 10 imputations over the 16x16 CelebA code grid) and
+    prints ``{"grids_per_sec": N}`` — the "eval imgs/sec" metric from
+    BASELINE.json's metric line (VERDICT r3 item 4). The naive raster sampler
+    is NOT re-timed here (11 s/batch; its ratio lives in
+    datasets/bench_eval_sampling.py and BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from posterior_matching_tpu.models.pixelcnn import PixelCNN
+    from posterior_matching_tpu.models.pixelcnn_fast import (
+        pixelcnn_sample_fast,
+    )
+    from posterior_matching_tpu.runtime import configure_environment
+
+    configure_environment()
+    model = PixelCNN(
+        num_indices=512, image_shape=(16, 16), dropout=0.5,
+        num_resnet=12, num_hierarchies=1, num_filters=128,
+    )
+    batch, num_samples = 32, 10
+    cond = jax.random.normal(jax.random.PRNGKey(7), (batch, 512))
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((batch, 16, 16), jnp.int32), cond
+    )
+    fast = jax.jit(
+        lambda k, c: pixelcnn_sample_fast(
+            model, variables["params"], k, num_samples, conditional_input=c
+        )
+    )
+    out = fast(jax.random.PRNGKey(0), cond)  # compile
+    int(jnp.sum(out))  # value-fetch sync (see _sync)
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = fast(jax.random.PRNGKey(i + 1), cond)
+        int(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps(
+        {
+            "grids_per_sec": batch * num_samples / dt,
+            "sec_per_batch": dt,
+            "platform": jax.default_backend(),
+        }
+    ))
 
 
 # ---------------------------------------------------------------------------
 # Parent mode: orchestrate subprocesses with retries; emit the final JSON.
 # ---------------------------------------------------------------------------
 
-def _measure_in_subprocess(variant, tries=3, timeout_s=2400):
-    """Runs one variant in a fresh python process; retries on any failure
-    (the remote-compile tunnel flakes transiently — a fresh process gets a
-    fresh tunnel connection). Returns steps/sec or None."""
+def _run_child(label, argv, tries=3, timeout_s=2400):
+    """Runs a child python process; retries on any failure (the
+    remote-compile tunnel flakes transiently — a fresh process gets a fresh
+    tunnel connection). Returns the parsed last-JSON-line dict or None."""
     for attempt in range(1, tries + 1):
         if time.monotonic() > _DEADLINE[0]:
             print(
-                f"# bench budget exhausted before {variant} attempt {attempt}",
+                f"# bench budget exhausted before {label} attempt {attempt}",
                 file=sys.stderr,
             )
             return None
         try:
             remaining = max(_DEADLINE[0] - time.monotonic(), 60.0)
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--variant", variant],
+                [sys.executable] + argv,
                 capture_output=True, text=True,
                 timeout=min(timeout_s, remaining),
                 cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -309,25 +378,40 @@ def _measure_in_subprocess(variant, tries=3, timeout_s=2400):
                 for line in reversed(proc.stdout.strip().splitlines()):
                     line = line.strip()
                     if line.startswith("{"):
-                        return float(json.loads(line)["steps_per_sec"])
+                        return json.loads(line)
             err_tail = (proc.stderr or "")[-500:]
             print(
-                f"# bench variant {variant} attempt {attempt}/{tries} failed "
+                f"# bench {label} attempt {attempt}/{tries} failed "
                 f"(rc={proc.returncode}): ...{err_tail!r}",
                 file=sys.stderr,
             )
         except subprocess.TimeoutExpired:
             print(
-                f"# bench variant {variant} attempt {attempt}/{tries} timed out",
+                f"# bench {label} attempt {attempt}/{tries} timed out",
                 file=sys.stderr,
             )
         except Exception as e:  # noqa: BLE001 — keep the capture alive
             print(
-                f"# bench variant {variant} attempt {attempt}/{tries}: {e!r}",
+                f"# bench {label} attempt {attempt}/{tries}: {e!r}",
                 file=sys.stderr,
             )
         time.sleep(min(10.0 * attempt, 30.0))
     return None
+
+
+def _measure_in_subprocess(variant, tries=3, timeout_s=2400):
+    """Measures one bench.py variant in a fresh process; returns steps/sec
+    (or grids/sec for eval_sampler) or None."""
+    rec = _run_child(
+        variant,
+        [os.path.abspath(__file__), "--variant", variant],
+        tries=tries, timeout_s=timeout_s,
+    )
+    if rec is None:
+        return None
+    if variant == "eval_sampler":
+        return float(rec["grids_per_sec"])
+    return float(rec["steps_per_sec"])
 
 
 # Global wall-clock budget for the whole capture (seconds; override with
@@ -392,14 +476,20 @@ def _probe_backend(timeout_s=300, max_attempts=3, retry_gap_s=30):
     return False
 
 
-def _merge_reference_ratio(out):
-    """If the reference implementation itself has been measured on this
-    hardware (bench_reference.py runs the reference's own code over the
-    tests/refshims shims, writing BENCH_REFERENCE.json), add the
-    implementation-vs-implementation ratio — the true north-star
-    denominator. No jax import here: the parent process must not claim the
-    TPU; the records carry their platform, and only accelerator runs are
-    comparable to this capture."""
+def _merge_reference_ratio(out, fresh_ref_sps=None):
+    """Adds the implementation-vs-implementation ratio — the true north-star
+    denominator (bench_reference.py runs the reference's own code over the
+    tests/refshims shims, appending to BENCH_REFERENCE.json). Prefers a
+    same-session measurement (``fresh_ref_sps``, VERDICT r3 item 5: numerator
+    and denominator should share a session) and falls back to the banked
+    best. No jax import here: the parent process must not claim the TPU; the
+    records carry their platform, and only accelerator runs are comparable
+    to this capture."""
+    if fresh_ref_sps:
+        out["reference_impl_steps_per_sec"] = fresh_ref_sps
+        out["reference_impl_source"] = "same_session"
+        out["vs_reference_impl"] = round(out["value"] / fresh_ref_sps, 4)
+        return
     try:
         with open(_REFERENCE_PATH) as f:
             ref_records = json.load(f)
@@ -408,6 +498,7 @@ def _merge_reference_ratio(out):
             if r.get("platform") not in (None, "cpu") and r.get("value")
         )
         out["reference_impl_steps_per_sec"] = ref_sps
+        out["reference_impl_source"] = "banked_best"
         out["vs_reference_impl"] = round(out["value"] / ref_sps, 4)
     except (OSError, ValueError, KeyError, TypeError, AttributeError):
         # TypeError/AttributeError: malformed BENCH_REFERENCE.json (object
@@ -451,60 +542,15 @@ def _resolve_baseline(measured):
     return measured, "measured"
 
 
-def main():
-    _DEADLINE[0] = time.monotonic() + float(
-        os.environ.get("PM_BENCH_BUDGET", 5400)
-    )
-    if not _probe_backend():
-        print(
-            "# backend probe failed (wedged lease or dead tunnel)",
-            file=sys.stderr,
-        )
-        if _emit_banked_capture("backend unreachable at capture time"):
-            return
-        # No banked capture — proceed anyway; the probe failure may have
-        # been a transient claim-queue stall and retries are budgeted.
-    # Best-expected variant first: if later variants die, the primary number
-    # is already in hand. Partial results land in BENCH_PARTIAL.json after
-    # every variant so even a parent crash leaves an inspectable record.
-    # fused_f32 is intentionally absent: it adds no information over
-    # chunked_f32 + fused_bf16, and its compile measured pathologically slow
-    # through the remote-compile tunnel (>25 min on 2026-08-17), putting the
-    # whole capture at risk.
-    plan = [
-        "chunked_bf16",
-        "host_baseline",
-        "fused_bf16",
-        "chunked_f32",
-    ]
-    results = {}
-    partial_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_PARTIAL.json"
-    )
-    for variant in plan:
-        sps = _measure_in_subprocess(variant)
-        if sps is not None:
-            results[variant] = sps
-        try:
-            with open(partial_path, "w") as f:
-                json.dump(results, f)
-        except OSError:
-            pass
-        # Primary + baseline captured and at least one more fused variant
-        # measured: that is a complete capture; keep going only as budget
-        # allows (every variant after the first hits the compile cache).
-
+def _compose_and_emit(results, fresh_ref_sps=None, bank=True):
+    """Builds the final JSON record from whatever has been measured so far,
+    banks it, and PRINTS it. Called as soon as the primary numbers are in
+    hand and again after each optional extra (the driver parses the LAST
+    JSON line, so re-emitting an updated record is safe — and it means a
+    driver timeout mid-extra still leaves a complete capture on stdout;
+    round 3 lost its headline to exactly that, VERDICT r3 weak #1)."""
     fused_names = ["chunked_bf16", "fused_bf16", "chunked_f32", "fused_f32"]
     fused = {k: v for k, v in results.items() if k in fused_names}
-    if not fused:
-        if _emit_banked_capture("all variants failed this capture"):
-            return
-        # Nothing measured at all — emit an explicit failure record (rc!=0).
-        print(json.dumps({"metric": "pm_vqvae_celeba_train_steps_per_sec_per_chip",
-                          "value": None, "unit": "steps/sec",
-                          "error": "all variants failed", **results}))
-        sys.exit(1)
-
     best = max(fused.values())
     live_host = results.get("host_baseline")
     naive, baseline_source = _resolve_baseline(live_host)
@@ -516,6 +562,9 @@ def main():
         "vs_baseline": round(best / naive, 4),
         "baseline_source": baseline_source,
         "host_masking_steps_per_sec": round(naive, 4),
+        # MFU at the measured rate: 1206 GFLOP/step (round-3 trace cost
+        # analysis) against one v5e chip's dense bf16 peak.
+        "mfu": round(best * FLOPS_PER_STEP / TPU_V5E_BF16_PEAK, 4),
     }
     if baseline_source == "measured_clamped_to_recorded_best":
         # Preserve the raw live measurement alongside the clamped
@@ -523,15 +572,116 @@ def main():
         out["host_masking_live_steps_per_sec"] = round(live_host, 4)
     for k, v in fused.items():
         out[f"{k}_steps_per_sec"] = round(v, 4)
-    _merge_reference_ratio(out)
-    # Bank the fresh capture for a wedged-chip fallback later in the round.
+    # Eval-sampler throughput (BASELINE.json metric line: "eval imgs/sec").
+    if results.get("eval_sampler"):
+        out["eval_grids_per_sec"] = round(results["eval_sampler"], 2)
+        out["eval_grids_source"] = "measured"
+    else:
+        out["eval_grids_per_sec"] = RECORDED_EVAL_GRIDS_PER_SEC
+        out["eval_grids_source"] = "recorded_2026-08-16"
+    _merge_reference_ratio(out, fresh_ref_sps)
     out["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-    try:
-        with open(_CAPTURE_PATH, "w") as f:
-            json.dump(out, f)
-    except OSError:
-        pass
-    print(json.dumps(out))
+    if bank:
+        # Bank the fresh capture for a wedged-chip fallback later the round.
+        try:
+            with open(_CAPTURE_PATH, "w") as f:
+                json.dump(out, f)
+        except OSError:
+            pass
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    # Budget default 30 min (VERDICT r3 item 1c: the round-3 default of
+    # 90 min outran the driver's timeout and the capture was lost).
+    _DEADLINE[0] = time.monotonic() + float(
+        os.environ.get("PM_BENCH_BUDGET", 1800)
+    )
+    if not _probe_backend():
+        print(
+            "# backend probe failed (wedged lease or dead tunnel)",
+            file=sys.stderr,
+        )
+        if _emit_banked_capture("backend unreachable at capture time"):
+            return
+        # No banked capture — proceed anyway; the probe failure may have
+        # been a transient claim-queue stall and retries are budgeted.
+    # PRIMARY PLAN: just the headline variant + the host-pipeline baseline.
+    # The final JSON is emitted (and banked) the moment both are in hand;
+    # everything after is optional and re-emits an updated last line.
+    # fused_bf16/chunked_f32 exist for A/Bs, not for the capture — they are
+    # gated behind PM_BENCH_FULL=1 (VERDICT r3 item 1b). fused_f32 is
+    # intentionally absent: its compile measured pathologically slow through
+    # the remote-compile tunnel (>25 min on 2026-08-17).
+    results = {}
+    partial_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_PARTIAL.json"
+    )
+
+    def _bank_partial():
+        try:
+            with open(partial_path, "w") as f:
+                json.dump(results, f)
+        except OSError:
+            pass
+
+    for variant in ["chunked_bf16", "host_baseline"]:
+        sps = _measure_in_subprocess(variant)
+        if sps is not None:
+            results[variant] = sps
+        _bank_partial()
+
+    if "chunked_bf16" not in results:
+        if _emit_banked_capture("primary variant failed this capture"):
+            return
+        # Nothing measured at all — emit an explicit failure record (rc!=0).
+        print(json.dumps(
+            {"metric": "pm_vqvae_celeba_train_steps_per_sec_per_chip",
+             "value": None, "unit": "steps/sec",
+             "error": "primary variant failed", **results}
+        ))
+        sys.exit(1)
+
+    _compose_and_emit(results)
+
+    # --- Optional extras, budget-permitting; each re-emits the record. ---
+    # 1. Same-session reference-implementation measurement (VERDICT r3
+    #    item 5): numerator and denominator share a session. 30 steps at
+    #    ~19 steps/s ≈ 2 s timed; the reference model compile is cached
+    #    after its first run. bench_reference.py appends the row to
+    #    BENCH_REFERENCE.json itself.
+    fresh_ref = None
+    if time.monotonic() < _DEADLINE[0] - 120:
+        rec = _run_child(
+            "reference_impl",
+            [os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_reference.py"),
+             "--steps", "30", "--warmup", "3"],
+            tries=2, timeout_s=1200,
+        )
+        if rec and rec.get("platform") not in (None, "cpu") and rec.get("value"):
+            fresh_ref = float(rec["value"])
+            results["reference_impl"] = fresh_ref
+            _bank_partial()
+            _compose_and_emit(results, fresh_ref)
+
+    # 2. Eval-sampler throughput (VERDICT r3 item 4).
+    if time.monotonic() < _DEADLINE[0] - 120:
+        gps = _measure_in_subprocess("eval_sampler", tries=2, timeout_s=1200)
+        if gps is not None:
+            results["eval_sampler"] = gps
+            _bank_partial()
+            _compose_and_emit(results, fresh_ref)
+
+    # 3. A/B variants, only on explicit request.
+    if os.environ.get("PM_BENCH_FULL"):
+        for variant in ["fused_bf16", "chunked_f32"]:
+            sps = _measure_in_subprocess(variant)
+            if sps is not None:
+                results[variant] = sps
+                _bank_partial()
+                _compose_and_emit(results, fresh_ref)
 
 
 if __name__ == "__main__":
