@@ -72,7 +72,7 @@ TPU_V5E_BF16_PEAK = 197e12
 RECORDED_EVAL_GRIDS_PER_SEC = 2211.0
 
 
-def build(compute_dtype=None):
+def build(compute_dtype=None, packed=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -103,13 +103,27 @@ def build(compute_dtype=None):
         "num_indices": 512,
     }
     batch = 32
+    cond_dim = 512
+    if os.environ.get("PM_BENCH_TINY"):
+        # Plumbing smoke mode (CPU): tiny shapes, interpret-mode chain
+        # kernels. Numbers are meaningless; only the wiring is exercised.
+        vqvae_config.update(
+            embedding_dim=16, num_embeddings=32, hidden_units=16,
+            residual_hidden_units=8,
+        )
+        pixel_cnn_config.update(
+            image_shape=(4, 4), num_resnet=2, num_filters=8,
+            num_indices=32, fused_chain="interpret",
+        )
+        batch, cond_dim = 2, 32
     model = PMVQVAE.from_config(
-        512, vqvae_config, pixel_cnn_config, compute_dtype=compute_dtype
+        cond_dim, vqvae_config, pixel_cnn_config, compute_dtype=compute_dtype
     )
     mask_fn = masking.get_mask_generator("CelebAMaskGenerator")
 
     rng = np.random.RandomState(0)
-    images = rng.rand(batch, 64, 64, 3).astype(np.float32)
+    img_hw = 4 * pixel_cnn_config["image_shape"][0]  # vqvae downsamples 4x
+    images = rng.rand(batch, img_hw, img_hw, 3).astype(np.float32)
 
     x0 = jnp.asarray(images)
     b0 = mask_fn(jax.random.PRNGKey(0), x0.shape)
@@ -143,13 +157,57 @@ def build(compute_dtype=None):
         train = {k: v for k, v in p.items() if k != "vqvae"}
         return train, p["vqvae"]
 
-    trainable0, _ = _split(params)
+    # Packed-chain representation (models/pixelcnn.py::pack_chain_params):
+    # the PixelCNN gated-chain weights live in kernel-native stacked form
+    # ([L, rows, cols] per weight name) for the WHOLE training run — the
+    # per-step slice/reshape/stack copies that derive the kernel form from
+    # canonical per-level leaves vanish, and Adam runs over ~26 stacked
+    # tensors instead of ~100 chain leaves (the measured round-3 tail:
+    # ~1.9 ms of per-leaf multiply_add fusions + ~0.8 ms of inter-fusion
+    # copies, BASELINE.md). Elementwise-optimizer-exact: pack/unpack are
+    # pure rearrangements (parity-pinned by tests/test_packed_chain.py).
+    from posterior_matching_tpu.models.pixelcnn import (
+        is_chain_param, pack_chain_params,
+    )
+
+    n_resnet = pixel_cnn_config["num_resnet"]
+    n_filters = pixel_cnn_config["num_filters"]
+    # Chain leaves stay in the apply tree structurally (their values are
+    # unused by the packed apply path); closed over as jit constants.
+    chain_stub = {
+        k: v for k, v in params["pixel_cnn"].items() if is_chain_param(k)
+    }
+
+    def _split_packed(p):
+        pc = p["pixel_cnn"]
+        train = {
+            k: v for k, v in p.items() if k not in ("vqvae", "pixel_cnn")
+        }
+        train["pixel_cnn_rest"] = {
+            k: v for k, v in pc.items() if not is_chain_param(k)
+        }
+        train["packed"] = pack_chain_params(
+            pc, num_resnet=n_resnet, num_filters=n_filters
+        )
+        return train, p["vqvae"]
+
+    def _merge_packed(train, frozen):
+        full = {
+            k: v for k, v in train.items()
+            if k not in ("packed", "pixel_cnn_rest")
+        }
+        full["pixel_cnn"] = {**chain_stub, **train["pixel_cnn_rest"]}
+        full["vqvae"] = frozen
+        return full, train["packed"]
+
+    trainable0, _ = (_split_packed if packed else _split)(params)
     opt_state = tx.init(trainable0)
 
-    def loss(params, state, x, b, key):
+    def loss(params, state, x, b, key, packed_chain=None):
         ll, _ = model.apply(
             {"params": params, **state}, x, b, training=True,
             rngs={"dropout": key}, mutable=["vq_ema"],
+            packed_chain=packed_chain,
         )
         return -jnp.mean(ll)
 
@@ -161,6 +219,8 @@ def build(compute_dtype=None):
 
     use_rbg = jax.default_backend() == "tpu"
 
+    frozen_vqvae = params["vqvae"]
+
     def fused_body(params, opt_state, state, images, key):
         key, k_mask, k_drop = jax.random.split(key, 3)
         if use_rbg:
@@ -168,12 +228,21 @@ def build(compute_dtype=None):
         b = mask_fn(k_mask, images.shape).reshape(
             (*images.shape[:-1], 1)
         )
+        if packed:
+            # ``params`` here IS the packed trainable tree; the frozen
+            # vqvae rides as a closed-over constant like chain_stub.
+            def packed_loss(t):
+                full, pk = _merge_packed(t, frozen_vqvae)
+                return loss(full, state, images, b, k_drop, packed_chain=pk)
+
+            g = jax.grad(packed_loss)(params)
+            updates, opt_state = tx.update(g, opt_state)
+            return optax.apply_updates(params, updates), opt_state, key
         train, frozen = _split(params)
         g = jax.grad(
             lambda t: loss({**t, "vqvae": frozen}, state, images, b, k_drop)
         )(train)
         updates, opt_state = tx.update(g, opt_state)
-        train = optax.apply_updates(train, updates)
         return {**train, "vqvae": frozen}, opt_state, key
 
     fused_step = jax.jit(fused_body, donate_argnums=(0, 1))
@@ -204,8 +273,11 @@ def build(compute_dtype=None):
         train = optax.apply_updates(train, updates)
         return {**train, "vqvae": frozen}, opt_state, key
 
+    # In packed mode the tree threaded through the step IS the packed
+    # trainable tree (frozen vqvae + stub chain leaves ride as constants).
+    threaded = trainable0 if packed else params
     return (
-        jax, jnp, model, mask_fn, images, params, state, opt_state,
+        jax, jnp, model, mask_fn, images, threaded, state, opt_state,
         fused_step, fused_chunk, naive_step,
     )
 
@@ -268,9 +340,9 @@ def run_variant(name):
     (
         jax_, jnp_, model, mask_fn, images, params, state, opt_state,
         fused_step, fused_chunk, naive_step,
-    ) = build(compute_dtype=dtype)
+    ) = build(compute_dtype=dtype, packed=name.startswith("packed"))
 
-    if name.startswith("chunked"):
+    if name.startswith(("chunked", "packed")):
         sps = _time_fused(
             jax, jnp, params, state, opt_state, fused_chunk, images,
             N_DISPATCH_CHUNKED, steps_per_call=CHUNK,
@@ -549,7 +621,10 @@ def _compose_and_emit(results, fresh_ref_sps=None, bank=True):
     JSON line, so re-emitting an updated record is safe — and it means a
     driver timeout mid-extra still leaves a complete capture on stdout;
     round 3 lost its headline to exactly that, VERDICT r3 weak #1)."""
-    fused_names = ["chunked_bf16", "fused_bf16", "chunked_f32", "fused_f32"]
+    fused_names = [
+        "packed_bf16", "chunked_bf16", "fused_bf16",
+        "packed_f32", "chunked_f32", "fused_f32",
+    ]
     fused = {k: v for k, v in results.items() if k in fused_names}
     best = max(fused.values())
     live_host = results.get("host_baseline")

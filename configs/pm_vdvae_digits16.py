@@ -36,8 +36,10 @@ def get_config():
                 "custom_width_string": None,
                 "compute_dtype": config_dict.placeholder(str),
             },
-            # flat_optimizer: run clip+adam+wd over one raveled vector
-            # (train/optim.py group_by_shape) — same math, far fewer kernels;
+            # flat_optimizer: consolidate clip+adam+wd over same-shape
+            # leaf GROUPS stacked along a new leading axis (train/optim.py
+            # group_by_shape — raveling to one vector is the TPU
+            # anti-pattern this replaces) — same math, far fewer kernels;
             # changes the optimizer-state pickle ABI, so off by default.
             "flat_optimizer": False,
             "ema_rate": 0.999,

@@ -248,13 +248,47 @@ def random_pattern_mask(
     density_std: float = 0.05,
     canvas_size: int = 2048,
     canvas_seed: int = 0,
+    update_freq: Optional[float] = None,
+    num_canvases: int = 4,
 ) -> jnp.ndarray:
     """Random crops of a thresholded bicubic-noise canvas with density
-    rejection (reference RandomPatternMaskGenerator:177-232)."""
+    rejection (reference RandomPatternMaskGenerator:177-232).
+
+    ``update_freq`` (reference masking.py:227-228): the reference REGENERATES
+    its canvas after ``update_freq * max_size**2`` cropped points — a
+    schedule over a hidden draw counter. A pure ``(key, shape)`` function has
+    no draw counter, so regeneration-on-schedule is realized as random
+    selection from a pool of ``num_canvases`` iid pre-built canvases (one
+    key-derived index per call; canvases are iid, so each crop's marginal
+    distribution is identical to the reference's — only the pairing of
+    "which draws share a canvas" differs, and the reference's own pairing is
+    an arbitrary artifact of draw order). The pool's canvases and their
+    summed-area tables embed as program constants (~21 MB each at the
+    default 2048 canvas), so keep ``num_canvases`` modest. ``update_freq``'s
+    VALUE is accepted for signature parity but only its presence matters
+    here; ``None`` (default) keeps the single fixed canvas."""
     del max_size  # canvas_size plays its role on device
     b, h, w = _flatten_image_shape(shape)
-    canvas = _PatternCanvas.get(canvas_size, resolution, density, canvas_seed)
-    sat = _PatternCanvas.get_sat(canvas_size, resolution, density, canvas_seed)
+    if update_freq is not None and num_canvases > 1:
+        k_canvas, key = jax.random.split(key)
+        canvases = np.stack([
+            _PatternCanvas.get(canvas_size, resolution, density, canvas_seed + i)
+            for i in range(num_canvases)
+        ])
+        sats = np.stack([
+            _PatternCanvas.get_sat(canvas_size, resolution, density, canvas_seed + i)
+            for i in range(num_canvases)
+        ])
+        cidx = jax.random.randint(k_canvas, (), 0, num_canvases)
+        canvas = jax.lax.dynamic_index_in_dim(
+            jnp.asarray(canvases), cidx, keepdims=False
+        )
+        sat = jax.lax.dynamic_index_in_dim(
+            jnp.asarray(sats), cidx, keepdims=False
+        )
+    else:
+        canvas = _PatternCanvas.get(canvas_size, resolution, density, canvas_seed)
+        sat = _PatternCanvas.get_sat(canvas_size, resolution, density, canvas_seed)
     k = _REJECTION_CANDIDATES
     kx, ky = jax.random.split(key)
     xs = jax.random.randint(kx, (b, k), 0, canvas_size - w + 1)
@@ -297,20 +331,30 @@ def mixture_mask(
     shape: Sequence[int],
     generators: Sequence[MaskFn],
     weights: Sequence[float],
+    batch_level: bool = False,
 ) -> jnp.ndarray:
-    """Per-element mixture over component generators (reference
-    MixtureMaskGenerator:24 with ``batch_level=False``): every batch element
-    independently picks a component. All components are evaluated batched and
-    selected elementwise — cheap (masks are tiny) and fully on-device."""
+    """Mixture over component generators (reference MixtureMaskGenerator:24).
+
+    ``batch_level=False`` (the default, and what every shipped reference
+    config uses): every batch element independently picks a component.
+    ``batch_level=True`` (reference masking.py:39-42): ONE component index is
+    drawn for the whole batch. Either way all components are evaluated
+    batched and selected by index — cheap (masks are tiny), fully on-device,
+    and shape-static under jit."""
     b = shape[0]
     w = np.asarray(weights, np.float32)
     w = w / w.sum()
     k_choice, *k_gens = jax.random.split(key, len(generators) + 1)
-    choice = jax.random.choice(
-        k_choice, len(generators), (b,), p=jnp.asarray(w)
-    )
     masks = jnp.stack(
         [gen(k, shape) for gen, k in zip(generators, k_gens)], axis=1
+    )
+    if batch_level:
+        choice = jax.random.choice(
+            k_choice, len(generators), (), p=jnp.asarray(w)
+        )
+        return jnp.take(masks, choice, axis=1)
+    choice = jax.random.choice(
+        k_choice, len(generators), (b,), p=jnp.asarray(w)
     )
     sel = choice.reshape((b,) + (1,) * (masks.ndim - 2))
     return jnp.take_along_axis(masks, sel[:, None], axis=1)[:, 0]

@@ -19,7 +19,7 @@ Key departures from the reference:
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -284,7 +284,7 @@ class PixelCNN(nn.Module):
             out["waux"] = waux
         return out
 
-    def _fused_chain(self, stacks_init, cond, training):
+    def _fused_chain(self, stacks_init, cond, training, packed=None):
         """Runs the 2*num_resnet gated-block chain through the pair kernels.
 
         Equivalent to the unfused up+down loops of ``__call__`` for
@@ -394,31 +394,49 @@ class PixelCNN(nn.Module):
         # 1.1e-6, grads 5.6e-5 at highest precision, PRNG dropout
         # bit-deterministic, datasets/validate_chain_tpu.py).
         # Integer L = segment kernels running L levels back-to-back per
-        # launch (L=1 -> pair kernels, the previous default). Identical
-        # numerics and dropout bits across all modes (parity-tested). The
+        # launch (L=1 -> pair kernels, the previous default). At float32
+        # compute the three modes are numerically identical with identical
+        # dropout bits (parity-tested, incl. a bfloat16 tolerance case); at
+        # bfloat16 compute they agree to bf16 tolerance only — the modes
+        # keep their inter-level carries at different precisions (stream
+        # bwd: compute dtype; segment: f32 within a launch; pair: rounded
+        # per boundary). The
         # L=4 body holds ~65 MB of live VMEM which starves Mosaic's grid
         # double-buffering: measured END-TO-END 67.9 (L=4) vs 75.2 (pairs)
         # vs 78.2 (stream) steps/s on the flagship (BASELINE.md round-3).
         seg_env = os.environ.get("PM_TPU_CHAIN_SEGMENT", "stream")
+        if packed is not None and seg_env != "stream":
+            raise ValueError(
+                "packed_chain requires the stream chain kernels "
+                "(PM_TPU_CHAIN_SEGMENT=stream)"
+            )
         if seg_env == "stream":
             def stream_masks():
                 # same per-level RNG consumption order as the pair path
                 ms = [masks_for(xv.shape) for _ in range(n)]
                 return ms if ms[0] is not None else None
 
+            up_w = (
+                fold_packed_biases(packed["up"], down=False)
+                if packed is not None
+                else [pack_pair("up", p, False) for p in range(n)]
+            )
             up_outs = gated_stream(
-                xv, xh, None, cond2d,
-                [pack_pair("up", p, False) for p in range(n)],
+                xv, xh, None, cond2d, up_w,
                 seed, 0, masks=stream_masks(), **common,
             )
             xs_v += [o[0] for o in up_outs]
             xs_h += [o[1] for o in up_outs]
             xv, xh = up_outs[-1]
+            dn_w = (
+                fold_packed_biases(packed["dn"], down=True)
+                if packed is not None
+                else [pack_pair("dn", p, True) for p in range(n)]
+            )
             dn_outs = gated_stream(
                 xv, xh,
                 [(xs_v[n - 1 - p], xs_h[n - 1 - p]) for p in range(n)],
-                cond2d,
-                [pack_pair("dn", p, True) for p in range(n)],
+                cond2d, dn_w,
                 seed, n, masks=stream_masks(), **common,
             )
             return dn_outs[-1][1]
@@ -518,6 +536,7 @@ class PixelCNN(nn.Module):
         indices: jnp.ndarray,
         conditional_input: Optional[jnp.ndarray] = None,
         training: bool = False,
+        packed_chain: Optional[Dict[str, Any]] = None,
     ) -> jnp.ndarray:
         f = self.num_filters
         rows, cols = self.receptive_field_dims
@@ -553,10 +572,18 @@ class PixelCNN(nn.Module):
 
         stacks = {"vertical": [v_init], "horizontal": [h_up + h_left]}
 
+        if packed_chain is not None and not self._use_fused_chain(
+            conditional_input
+        ):
+            raise ValueError(
+                "packed_chain was given but the fused chain path is not "
+                "active (needs num_hierarchies=1, a conditional input, and "
+                "fused_chain enabled)"
+            )
         if self._use_fused_chain(conditional_input):
             x_final = self._fused_chain(
                 {"vertical": v_init, "horizontal": h_up + h_left},
-                conditional_input, training,
+                conditional_input, training, packed=packed_chain,
             )
             x_out = jax.nn.elu(x_final)
             logits = nn.Conv(
@@ -640,17 +667,200 @@ class PixelCNN(nn.Module):
         value: jnp.ndarray,
         conditional_input: Optional[jnp.ndarray] = None,
         training: bool = False,
+        packed_chain: Optional[Dict[str, Any]] = None,
     ) -> jnp.ndarray:
         """Teacher-forced log-likelihood, summed over the grid
         (reference pixel_cnn.py:53-63)."""
         logits = self(
-            value, conditional_input=conditional_input, training=training
+            value, conditional_input=conditional_input, training=training,
+            packed_chain=packed_chain,
         )
         logp = jax.nn.log_softmax(logits, axis=-1)
         lls = jnp.take_along_axis(
             logp, value.astype(jnp.int32)[..., None], axis=-1
         )[..., 0]
         return jnp.sum(lls, axis=tuple(range(1, lls.ndim)))
+
+
+# ---------------------------------------------------------------------------
+# Packed-chain training representation
+#
+# The fused stream kernels consume per-level weights SLICED to their valid
+# taps, flattened, and STACKED along a level axis (ops/gated_chain.py
+# ``_weight_shapes``).  The canonical flax param tree stores them per level
+# as full conv kernels (checkpoint ABI = the unfused path's).  Re-deriving
+# the kernel-native form every step costs ~100 slice/reshape/stack copies,
+# and the per-leaf optimizer over ~100 chain leaves fragments into ~300
+# small fusions (the measured ~2.8 ms round-3 tail, BASELINE.md).  These
+# helpers let the TRAINER keep the chain weights in kernel-native stacked
+# form across a steps_per_call scan — Adam runs on ~24 stacked tensors —
+# and convert back only at dispatch boundaries:
+#
+#   packed = pack_chain_params(params["pixel_cnn"], ...)   # per dispatch
+#   ... scan: model.apply(..., packed_chain=packed); adam on packed ...
+#   params["pixel_cnn"] = unpack_chain_params(packed, params["pixel_cnn"])
+#
+# NUMERICAL EQUIVALENCE to per-leaf training: pack/unpack are exact
+# rearrangements (slice/reshape/stack/row-permutations), and any ELEMENTWISE
+# optimizer (adam, sgd, schedules, per-element decay) commutes with them;
+# the masked kernel taps receive zero gradient either way, so they stay at
+# their init values in both representations.  NOT valid for optimizers with
+# cross-leaf coupling that differs per leaf (e.g. per-leaf norm clipping);
+# global-norm clipping IS safe (same global norm).  Biases are stored
+# UNFOLDED (conv bias, cond bias, aux bias as separate stacked tensors) and
+# folded per step by :func:`fold_packed_biases` — a handful of [L,1,C] adds
+# — so bias updates match the canonical path exactly.
+# ---------------------------------------------------------------------------
+
+_PACKED_BIAS_KEYS = ("bav", "bbv", "bcv", "bxv", "bah", "bbh", "bch", "bxh")
+
+
+def fold_packed_biases(packed_dir, down: bool):
+    """Packed (unfolded) biases -> the kernel-native folded form
+    (conv_b bias + cond bias; conv_a bias + aux bias), cf.
+    ``_chain_block_params``'s per-level folding."""
+    w = {
+        k: v for k, v in packed_dir.items() if k not in _PACKED_BIAS_KEYS
+    }
+    w["bav"] = (
+        packed_dir["bav"] + packed_dir["bxv"] if down else packed_dir["bav"]
+    )
+    w["bah"] = packed_dir["bah"] + packed_dir["bxh"]
+    w["bbv"] = packed_dir["bbv"] + packed_dir["bcv"]
+    w["bbh"] = packed_dir["bbh"] + packed_dir["bch"]
+    return w
+
+
+def _chain_slices(receptive_field_dims):
+    rows, cols = receptive_field_dims
+    return {
+        "vertical": ((0, rows - 1), (0, cols)),
+        "horizontal": ((0, 2), (0, cols // 2 + 1)),
+    }
+
+
+def is_chain_param(key: str) -> bool:
+    """Whether a ``pixel_cnn`` param subtree key belongs to the gated-block
+    chain (and is therefore covered by the packed representation)."""
+    return key.startswith("up_0_") or key.startswith("dn_0_")
+
+
+def pack_chain_params(
+    pc_params: Dict[str, Any],
+    *,
+    num_resnet: int,
+    num_filters: int,
+    receptive_field_dims: Tuple[int, int] = (3, 3),
+) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """Canonical ``pixel_cnn`` params -> kernel-native stacked form.
+
+    Returns ``{"up": {...}, "dn": {...}}``; each entry maps the stream
+    kernels' weight names to ``[num_resnet, rows, cols]`` stacks (weights
+    pre-sliced to valid taps and flattened) with biases kept UNFOLDED (see
+    :data:`_PACKED_BIAS_KEYS`).
+    """
+    f = num_filters
+    slc = _chain_slices(receptive_field_dims)
+    n = num_resnet
+
+    def conv(tag, stack, which):
+        sub = pc_params[f"{tag}_conv_{which}"]["Conv_0"]
+        (r0, r1), (c0, c1) = slc[stack]
+        k = sub["kernel"][r0:r1, c0:c1]
+        return k.reshape(-1, k.shape[-1]), sub["bias"].reshape(1, -1)
+
+    def dense(tag, suffix):
+        sub = pc_params[f"{tag}_{suffix}"]
+        return sub["kernel"], sub["bias"].reshape(1, -1)
+
+    out = {}
+    for d in ("up", "dn"):
+        down = d == "dn"
+        per_level = []
+        for p in range(n):
+            tv, th = f"{d}_0_{p}_vertical", f"{d}_0_{p}_horizontal"
+            wav, bav = conv(tv, "vertical", "a")
+            wbv, bbv = conv(tv, "vertical", "b")
+            wcv, bcv = dense(tv, "cond_proj")
+            wah, bah = conv(th, "horizontal", "a")
+            wbh, bbh = conv(th, "horizontal", "b")
+            wch, bch = dense(th, "cond_proj")
+            wxh, bxh = dense(th, "aux")
+            lvl = {
+                "wav": wav, "bav": bav, "wbv": wbv, "bbv": bbv,
+                "wcv": wcv, "bcv": bcv,
+                "wah": wah, "bah": bah, "wbh": wbh, "bbh": bbh,
+                "wch": wch, "bch": bch, "bxh": bxh,
+            }
+            if down:
+                wxv, bxv = dense(tv, "aux")
+                lvl["wxv"] = wxv
+                lvl["bxv"] = bxv
+                # concat_elu(concat(u, s)) = [elu u, elu s, -u, -s]: split
+                # the 4F aux Dense into its u/s row halves (pack_pair's
+                # layout in ``_fused_chain``).
+                lvl["wxh_u"] = jnp.concatenate([wxh[:f], wxh[2 * f: 3 * f]])
+                lvl["wxh_s"] = jnp.concatenate([wxh[f: 2 * f], wxh[3 * f:]])
+            else:
+                lvl["wxh_u"] = wxh
+            per_level.append(lvl)
+        out[d] = {
+            k: jnp.stack([lvl[k] for lvl in per_level])
+            for k in per_level[0]
+        }
+    return out
+
+
+def unpack_chain_params(
+    packed: Dict[str, Dict[str, jnp.ndarray]],
+    pc_params: Dict[str, Any],
+    *,
+    num_resnet: int,
+    num_filters: int,
+    receptive_field_dims: Tuple[int, int] = (3, 3),
+) -> Dict[str, Any]:
+    """Inverse of :func:`pack_chain_params`: writes the packed values back
+    into (a structural copy of) the canonical param tree.  Kernel taps
+    outside the valid region keep their existing (init) values — they get
+    zero gradient in both representations."""
+    f = num_filters
+    slc = _chain_slices(receptive_field_dims)
+    pc = jax.tree_util.tree_map(lambda x: x, pc_params)  # fresh containers
+
+    def put_conv(tag, stack, which, k_flat, bias):
+        sub = pc[f"{tag}_conv_{which}"]["Conv_0"]
+        (r0, r1), (c0, c1) = slc[stack]
+        kern = sub["kernel"]
+        block = k_flat.reshape(
+            r1 - r0, c1 - c0, kern.shape[2], kern.shape[3]
+        )
+        sub["kernel"] = kern.at[r0:r1, c0:c1].set(block)
+        sub["bias"] = bias.reshape(-1)
+
+    def put_dense(tag, suffix, kernel, bias):
+        sub = pc[f"{tag}_{suffix}"]
+        sub["kernel"] = kernel
+        sub["bias"] = bias.reshape(-1)
+
+    for d in ("up", "dn"):
+        down = d == "dn"
+        pk = packed[d]
+        for p in range(num_resnet):
+            tv, th = f"{d}_0_{p}_vertical", f"{d}_0_{p}_horizontal"
+            put_conv(tv, "vertical", "a", pk["wav"][p], pk["bav"][p])
+            put_conv(tv, "vertical", "b", pk["wbv"][p], pk["bbv"][p])
+            put_dense(tv, "cond_proj", pk["wcv"][p], pk["bcv"][p])
+            put_conv(th, "horizontal", "a", pk["wah"][p], pk["bah"][p])
+            put_conv(th, "horizontal", "b", pk["wbh"][p], pk["bbh"][p])
+            put_dense(th, "cond_proj", pk["wch"][p], pk["bch"][p])
+            if down:
+                put_dense(tv, "aux", pk["wxv"][p], pk["bxv"][p])
+                u, s = pk["wxh_u"][p], pk["wxh_s"][p]
+                wxh = jnp.concatenate([u[:f], s[:f], u[f:], s[f:]])
+                put_dense(th, "aux", wxh, pk["bxh"][p])
+            else:
+                put_dense(th, "aux", pk["wxh_u"][p], pk["bxh"][p])
+    return pc
 
 
 def pixelcnn_sample(

@@ -83,10 +83,18 @@ class PMVQVAE(nn.Module):
         return self.partial_encoder(jnp.concatenate([x * b, b], axis=-1))
 
     def __call__(
-        self, x: jnp.ndarray, b: jnp.ndarray, training: bool = False
+        self,
+        x: jnp.ndarray,
+        b: jnp.ndarray,
+        training: bool = False,
+        packed_chain: Optional[Dict[str, Any]] = None,
     ) -> jnp.ndarray:
         """Per-example conditional PixelCNN log-likelihood of the VQ codes
         (the PM-VQVAE training objective, reference train_pm_vqvae.py:81-99).
+
+        ``packed_chain`` (optional) supplies the PixelCNN gated-block chain
+        weights in kernel-native stacked form (pixelcnn.pack_chain_params);
+        the corresponding canonical leaves in the param tree are then unused.
         """
         encoding_indices = self.vqvae.encoding_indices(x)
         cond = self.conditional_latents(x, b)
@@ -94,6 +102,7 @@ class PMVQVAE(nn.Module):
             jax.lax.stop_gradient(encoding_indices),
             conditional_input=cond,
             training=training,
+            packed_chain=packed_chain,
         )
 
     def pixel_cnn_logits(self, indices, cond):

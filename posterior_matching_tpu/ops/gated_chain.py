@@ -1744,12 +1744,25 @@ def gated_stream(
     streamed bwd kernel (grid over (level, chunk), per-level weights
     streamed, xv/xh carried in VMEM scratch).  Drop-in equivalent of L
     sequential :func:`gated_pair` calls with pair indices
-    ``base_pair_index .. base_pair_index + L - 1`` (identical numerics,
-    saves, and PRNG dropout bits).  Returns the per-level
+    ``base_pair_index .. base_pair_index + L - 1``: identical PRNG dropout
+    bits always; identical numerics at float32 compute.  At bfloat16
+    compute the equivalence holds to bf16 tolerance only — this kernel
+    carries the inter-level forward activations and backward cotangents in
+    COMPUTE dtype (dv_scr/dh_scr), while the pair path rounds each level
+    boundary through HBM and the segment kernel keeps f32 carries within a
+    launch.  Returns the per-level
     ``(new_vertical, new_horizontal)`` tuples, each [B, H, W, F]."""
     b, h, w_, f = xv.shape
     hw = h * w_
-    L = len(weights)
+    # ``weights`` is either a per-level list of dicts (stacked here — one
+    # jnp.stack per weight name per step) or a dict of ALREADY-STACKED
+    # [L, rows, cols] arrays (the packed-params training path,
+    # models/pixelcnn.py::pack_chain_params — zero per-step stacking).
+    prestacked = isinstance(weights, dict)
+    if prestacked:
+        L = int(next(iter(weights.values())).shape[0])
+    else:
+        L = len(weights)
     rows_, cols_ = receptive_field_dims
     taps_v = plan_taps((2 * rows_ - 3, cols_), (0, rows_ - 1), (0, cols_))
     taps_h = plan_taps((3, cols_), (0, 2), (0, cols_ // 2 + 1))
@@ -1776,6 +1789,16 @@ def gated_stream(
         flat.append(stack2([skh for _, skh in skips]))
     flat.append(cond.astype(cdtype))
     for name, shp_ in _weight_shapes(cfg, down):
+        if prestacked:
+            wt = weights[name]
+            if wt.shape != (L, *shp_):
+                raise ValueError(
+                    f"{name}: expected {(L, *shp_)}, got {wt.shape}"
+                )
+            flat.append(
+                wt.astype(f32) if name.startswith("b") else wt.astype(cdtype)
+            )
+            continue
         ws = []
         for wl in weights:
             wt = wl[name]

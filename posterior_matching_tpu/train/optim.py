@@ -72,7 +72,14 @@ def group_by_shape(
         return (inner_state,)
 
     def update_fn(updates, state, params=None):
-        plan = _plan(updates)
+        # The plan must match init's (built from PARAMS): grouping keys
+        # include dtype, so planning from the updates tree would silently
+        # regroup if gradient dtypes ever differ from param dtypes
+        # (mixed-precision grads) and misalign the inner state. Plan from
+        # params whenever they're provided; the updates-tree fallback is
+        # only exercised by param-free inners, where updates share the
+        # params' dtypes in this codebase (f32 grads over f32 params).
+        plan = _plan(updates if params is None else params)
         s_updates = _stack(updates, plan)
         s_params = _stack(params, plan) if params is not None else None
         new_updates, inner_state = inner.update(

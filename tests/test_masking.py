@@ -115,6 +115,69 @@ def test_mixture_mask_uses_all_components():
     assert fracs.std() > 0.1
 
 
+def test_mixture_mask_batch_level():
+    """batch_level=True (reference masking.py:39-42): ONE component per
+    batch. Pin it with two extreme components — all-observed vs
+    all-hidden — so every batch must be homogeneous, and check both
+    components appear across keys at roughly their weights."""
+    ones = lambda k, s: jnp.ones(s, jnp.float32)
+    zeros = lambda k, s: jnp.zeros(s, jnp.float32)
+    f = jax.jit(
+        lambda k: masking.mixture_mask(
+            k, (16, 4, 4, 1), [ones, zeros], [0.5, 0.5], batch_level=True
+        ),
+        static_argnums=(),
+    )
+    means = np.array(
+        [float(np.mean(np.asarray(f(jax.random.PRNGKey(i))))) for i in range(200)]
+    )
+    # each batch is entirely one component...
+    assert set(np.unique(means)).issubset({0.0, 1.0})
+    # ...and both occur at ~their mixture weights
+    assert 0.35 < means.mean() < 0.65
+    # contrast: batch_level=False mixes per instance (some batch is mixed)
+    per_inst = np.array([
+        float(np.mean(np.asarray(masking.mixture_mask(
+            jax.random.PRNGKey(i), (16, 4, 4, 1), [ones, zeros], [0.5, 0.5]
+        )))) for i in range(20)
+    ])
+    assert ((per_inst > 0.0) & (per_inst < 1.0)).any()
+
+
+def test_random_pattern_update_freq_pool():
+    """update_freq (reference masking.py:227-228): canvas regeneration is
+    realized as a key-selected pool of iid canvases. Distinct calls must be
+    able to land on DIFFERENT canvases (crops at the same canvas coordinates
+    differ across some key pairs) while density rejection still holds."""
+    kw = dict(
+        density=0.25, canvas_size=256, update_freq=1.0, num_canvases=3
+    )
+    ms = [
+        np.asarray(masking.random_pattern_mask(
+            jax.random.PRNGKey(i), (8, 32, 32, 1), **kw
+        ))
+        for i in range(8)
+    ]
+    for m in ms:
+        hidden = 1.0 - m.mean((1, 2, 3))
+        assert (np.abs(hidden - 0.25) < 0.1).all()
+    # the pool actually switches canvases: with 3 canvases and 8 keys the
+    # chance all land on one canvas is 3^-7 ~ 5e-4; different canvases give
+    # different masks even when crop coordinates collide somewhere
+    assert any(
+        not np.array_equal(ms[0], m) for m in ms[1:]
+    )
+    # default single-canvas path unchanged: update_freq=None stays
+    # deterministic per key
+    a = masking.random_pattern_mask(
+        jax.random.PRNGKey(3), (4, 32, 32, 1), canvas_size=256
+    )
+    b = masking.random_pattern_mask(
+        jax.random.PRNGKey(3), (4, 32, 32, 1), canvas_size=256
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_celeb_a_mask_generator():
     gen = masking.get_mask_generator("CelebAMaskGenerator")
     m = np.asarray(gen(jax.random.PRNGKey(9), (32, 64, 64, 3)))
