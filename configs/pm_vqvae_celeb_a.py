@@ -30,6 +30,13 @@ def get_config():
             # "bfloat16" runs all three submodules' conv stacks at
             # MXU bf16 rate (params/heads stay f32)
             "compute_dtype": config_dict.placeholder(str),
+            # packed_chain: hold the PixelCNN gated-chain weights in
+            # kernel-native stacked form during training (optimizer over
+            # ~26 stacked tensors instead of ~100 leaves; checkpoints stay
+            # canonical). None = auto: on when the TPU fused-chain kernels
+            # are active. Elementwise-optimizer-exact
+            # (tests/test_packed_chain.py).
+            "packed_chain": config_dict.placeholder(bool),
             "steps": 150000,
             "validation_freq": 2000,
             "lr_schedule": {

@@ -23,10 +23,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # PM_PROFILE_PACKED=0 to trace the canonical (non-packed) variant.
+    packed = os.environ.get("PM_PROFILE_PACKED", "1") != "0"
     (
         jax_, jnp_, model, mask_fn, images, params, state, opt_state,
         fused_step, fused_chunk, naive_step,
-    ) = bench.build(compute_dtype="bfloat16")
+    ) = bench.build(compute_dtype="bfloat16", packed=packed)
 
     key = jax.random.PRNGKey(0)
     x = jnp.asarray(images)

@@ -863,6 +863,80 @@ def unpack_chain_params(
     return pc
 
 
+class PackedChainCodec:
+    """Param codec for ``Trainer(param_codec=PackedChainCodec.factory(...))``.
+
+    ``encode`` replaces the ``pixel_cnn`` subtree of a canonical param tree
+    with ``{"packed": pack_chain_params(...), "rest": <non-chain leaves>}``;
+    ``decode`` inverts it. The canonical chain leaves' masked taps (zero
+    gradient in both representations) are restored from the INIT-time stub
+    captured at construction, so construct the codec AFTER warm-start
+    merging. A loss_fn that supports the encoded form applies the model
+    with ``packed_chain=params[subtree]["packed"]`` and the stub chain
+    leaves merged back for structure (see ``split_encoded``)."""
+
+    def __init__(
+        self,
+        init_params: Dict[str, Any],
+        *,
+        num_resnet: int,
+        num_filters: int,
+        receptive_field_dims: Tuple[int, int] = (3, 3),
+        subtree: str = "pixel_cnn",
+    ):
+        self._kw = dict(
+            num_resnet=num_resnet,
+            num_filters=num_filters,
+            receptive_field_dims=receptive_field_dims,
+        )
+        self._subtree = subtree
+        self.stub = {
+            k: v
+            for k, v in init_params[subtree].items()
+            if is_chain_param(k)
+        }
+
+    @classmethod
+    def factory(cls, **kwargs) -> Callable[[Dict[str, Any]], "PackedChainCodec"]:
+        """``Trainer(param_codec=...)`` factory: called once with the
+        initialized (warm-start-merged) params."""
+        return lambda init_params: cls(init_params, **kwargs)
+
+    def encode(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        pc = params[self._subtree]
+        out = {k: v for k, v in params.items() if k != self._subtree}
+        out[self._subtree] = {
+            "packed": pack_chain_params(pc, **self._kw),
+            "rest": {
+                k: v for k, v in pc.items() if not is_chain_param(k)
+            },
+        }
+        return out
+
+    def decode(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        enc = params[self._subtree]
+        pc = unpack_chain_params(
+            enc["packed"], {**self.stub, **enc["rest"]}, **self._kw
+        )
+        out = {k: v for k, v in params.items() if k != self._subtree}
+        out[self._subtree] = pc
+        return out
+
+    def is_encoded(self, params: Dict[str, Any]) -> bool:
+        sub = params.get(self._subtree)
+        return isinstance(sub, dict) and "packed" in sub
+
+    def split_encoded(self, params):
+        """Encoded tree -> ``(apply_params, packed_chain)``: the canonical
+        tree the model can be applied with (stub chain leaves merged back —
+        their values are unused by the packed apply path) plus the packed
+        weights to pass as ``packed_chain=``."""
+        enc = params[self._subtree]
+        out = {k: v for k, v in params.items() if k != self._subtree}
+        out[self._subtree] = {**self.stub, **enc["rest"]}
+        return out, enc["packed"]
+
+
 def pixelcnn_sample(
     logits_fn: Callable[[jnp.ndarray, Optional[jnp.ndarray]], jnp.ndarray],
     key: jax.Array,

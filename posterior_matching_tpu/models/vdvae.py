@@ -101,6 +101,23 @@ def _scaled_init(multiple):
     return init
 
 
+class _ConvParams(nn.Module):
+    """Bare kernel+bias params laid out exactly like ``nn.Conv``'s, so the
+    param tree (``c{i}/{kernel,bias}``) is identical whichever compute path
+    :class:`Block` takes (same trick as models/pixelcnn.py::_ConvParams)."""
+
+    kshape: Tuple[int, ...]
+    w_init: Any = None
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", self.w_init or _trunc_normal_fan_in, self.kshape
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.kshape[-1],))
+        return kernel, bias
+
+
 class Block(nn.Module):
     """Bottleneck residual block: gelu -> 1x1 -> gelu -> 3x3 -> gelu -> 3x3 ->
     gelu -> 1x1, optional residual add + avg-pool downsample
@@ -119,14 +136,36 @@ class Block(nn.Module):
     # from it — back to float32. Params always stay float32.
     compute_dtype: Optional[str] = None
 
+    def _c4_init(self):
+        if self.zero_last:
+            return nn.initializers.zeros
+        if self.out_init_multiple is not None:
+            return _scaled_init(self.out_init_multiple)
+        return None  # _trunc_normal_fan_in default
+
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_weights: bool = False):
         cdtype = (
             jnp.dtype(self.compute_dtype)
             if self.compute_dtype is not None
             else None
         )
         k = 3 if self.use_3x3 else 1
+        if return_weights:
+            # Creates/returns the identical c1..c4 params without
+            # convolving — the fused block-chain kernel consumes them
+            # directly while keeping the checkpoint ABI (cf.
+            # models/pixelcnn.py::_MaskedConv return_weights).
+            m = self.middle_width
+            return {
+                "c1": _ConvParams((1, 1, x.shape[-1], m), name="c1")(),
+                "c2": _ConvParams((k, k, m, m), name="c2")(),
+                "c3": _ConvParams((k, k, m, m), name="c3")(),
+                "c4": _ConvParams(
+                    (1, 1, m, self.out_width), w_init=self._c4_init(),
+                    name="c4",
+                )(),
+            }
         h = _conv(self.middle_width, 1, name="c1", dtype=cdtype)(
             jax.nn.gelu(x)
         )
@@ -166,7 +205,16 @@ def _pad_channels(t, width):
 
 class Encoder(nn.Module):
     """Stack of bottleneck blocks recording activations per resolution
-    (reference vdvae.py:287-328)."""
+    (reference vdvae.py:287-328).
+
+    ``fused_chain``: run each per-resolution RUN of consecutive blocks
+    through ONE streamed Pallas kernel per direction
+    (ops/block_chain.py) instead of ~4 XLA convs per block. ``None`` =
+    auto (on for TPU, opt-out ``PM_TPU_FUSED_CHAIN=0``); ``"interpret"``
+    = interpret mode (CPU tests). Param tree and checkpoint ABI are
+    identical (weights are sliced/stacked at apply time). Isolated
+    blocks (run length 1) stay on XLA — block-granularity pallas calls
+    measured a net end-to-end LOSS (ops/gated_block.py header)."""
 
     width: int
     blocks: str
@@ -174,18 +222,31 @@ class Encoder(nn.Module):
     custom_width_string: Optional[str] = None
     remat: bool = False
     compute_dtype: Optional[str] = None
+    fused_chain: Optional[Any] = None
+
+    def _fused_mode(self):
+        import os
+
+        mode = self.fused_chain
+        if mode is None:
+            mode = (
+                jax.default_backend() == "tpu"
+                and os.environ.get("PM_TPU_FUSED_CHAIN") != "0"
+            )
+        return mode
 
     @nn.compact
     def __call__(self, x) -> Dict[int, jnp.ndarray]:
         widths = get_width_settings(self.width, self.custom_width_string)
         blocks = parse_layer_string(self.blocks)
         block_cls = nn.remat(Block) if self.remat else Block
+        fused = self._fused_mode()
 
         h = _conv(self.width, 3, name="in_conv")(x)
         activations = {h.shape[1]: h}
 
-        for i, (res, down_rate) in enumerate(blocks):
-            h = block_cls(
+        def make_block(i, res, down_rate):
+            return block_cls(
                 middle_width=int(widths[res] * self.bottleneck_multiple),
                 out_width=widths[res],
                 down_rate=down_rate,
@@ -194,10 +255,68 @@ class Encoder(nn.Module):
                 out_init_multiple=float(np.sqrt(1.0 / len(blocks))),
                 compute_dtype=self.compute_dtype,
                 name=f"block_{i}",
-            )(h)
+            )
+
+        i = 0
+        while i < len(blocks):
+            res, down_rate = blocks[i]
+            # maximal run of consecutive NON-downsampling blocks at this
+            # resolution; downsampling blocks stay on the unfused path
+            # (their pooled output lands at a new resolution, and the
+            # pre-pool activation of the run must remain the recorded one)
+            j = i
+            while (
+                j < len(blocks)
+                and blocks[j][0] == res
+                and blocks[j][1] is None
+            ):
+                j += 1
+            run = blocks[i:j]
+            use_kernel = (
+                fused
+                and len(run) >= 2
+                and h.shape[-1] == widths[res]   # residual width match
+            )
+            if use_kernel:
+                from posterior_matching_tpu.ops.block_chain import (
+                    block_chain,
+                )
+
+                mid = int(widths[res] * self.bottleneck_multiple)
+                k = 3 if res > 2 else 1
+                per_level = []
+                for off, (r_, dr_) in enumerate(run):
+                    wd = make_block(i + off, r_, dr_)(
+                        h, return_weights=True
+                    )
+                    per_level.append({
+                        "w1": wd["c1"][0].reshape(-1, mid),
+                        "b1": wd["c1"][1].reshape(1, -1),
+                        "w2": wd["c2"][0].reshape(-1, mid),
+                        "b2": wd["c2"][1].reshape(1, -1),
+                        "w3": wd["c3"][0].reshape(-1, mid),
+                        "b3": wd["c3"][1].reshape(1, -1),
+                        "w4": wd["c4"][0].reshape(mid, -1),
+                        "b4": wd["c4"][1].reshape(1, -1),
+                    })
+                h = block_chain(
+                    h, per_level, mid=mid, k=k,
+                    compute_dtype=(
+                        jnp.dtype(self.compute_dtype)
+                        if self.compute_dtype is not None else jnp.float32
+                    ),
+                    interpret=(fused == "interpret"),
+                )
+            elif run:
+                for off, (r_, dr_) in enumerate(run):
+                    h = make_block(i + off, r_, dr_)(h)
+            if not run:                      # a downsampling block
+                h = make_block(i, res, down_rate)(h)
+                j = i + 1
             cur_res = h.shape[1]
             h = _pad_channels(h, widths[cur_res])
             activations[cur_res] = h
+            i = j
 
         return activations
 
@@ -583,6 +702,9 @@ class PosteriorMatchingVDVAE(nn.Module):
     # bf16 compute inside the bottleneck blocks; all distribution parameters
     # (posterior/prior locs and scales, TriL factors, DMoL params) stay f32
     compute_dtype: Optional[str] = None
+    # Encoder block-run fusion (ops/block_chain.py): None = auto (TPU on),
+    # False = off, "interpret" = interpret-mode kernels (CPU tests)
+    fused_chain: Optional[Any] = None
 
     @classmethod
     def from_config(cls, config: Dict[str, Any], name: Optional[str] = None):
@@ -594,12 +716,14 @@ class PosteriorMatchingVDVAE(nn.Module):
         self.encoder = Encoder(
             self.width, self.encoder_blocks, self.bottleneck_multiple,
             self.custom_width_string, remat=self.remat,
-            compute_dtype=self.compute_dtype, name="encoder",
+            compute_dtype=self.compute_dtype,
+            fused_chain=self.fused_chain, name="encoder",
         )
         self.masked_encoder = Encoder(
             self.width, self.encoder_blocks, self.bottleneck_multiple,
             self.custom_width_string, remat=self.remat,
-            compute_dtype=self.compute_dtype, name="masked_encoder",
+            compute_dtype=self.compute_dtype,
+            fused_chain=self.fused_chain, name="masked_encoder",
         )
         self.decoder = Decoder(
             latent_dim=self.latent_dim,

@@ -19,6 +19,7 @@ a TPU-first design:
 """
 from __future__ import annotations
 
+import dataclasses
 import time
 from typing import Any, Callable, Dict, Iterable, Optional, Sequence
 
@@ -132,10 +133,26 @@ class Trainer:
         profile_steps: tuple = (10, 15),
         steps_per_call: int = 1,
         rng_impl: Optional[str] = "auto",
+        param_codec: Optional[Callable] = None,
     ):
         self._loss_fn = loss_fn
         self._init_fn = init_fn
         self._optimizer = optimizer
+        # param_codec: FACTORY ``init_params -> codec`` where the codec has
+        # ``encode(params)`` / ``decode(params)`` methods converting the
+        # canonical param tree to/from a TRAINING representation (e.g.
+        # models/pixelcnn.py::PackedChainCodec keeps the PixelCNN chain
+        # weights kernel-native-stacked so the optimizer runs over a few
+        # stacked tensors instead of ~100 leaves). Contract: encode/decode
+        # are exact inverses made of pure rearrangements, so any elementwise
+        # optimizer commutes with them. TrainState.params stays CANONICAL
+        # between dispatches (checkpoint/eval ABI unchanged); encode/decode
+        # run INSIDE the jitted dispatch (amortized over steps_per_call);
+        # opt_state lives in the ENCODED structure; loss_fn receives the
+        # encoded tree during training and the canonical tree at validation
+        # and must accept both.
+        self._param_codec_factory = param_codec
+        self._codec = None
         self._trainable_predicate = trainable_predicate
         self._skip_nonfinite = skip_nonfinite_updates
         self._ema_rate = ema_rate
@@ -254,8 +271,46 @@ class Trainer:
 
         return train_step
 
+    def _codec_wrap(self, dispatch):
+        """Wraps a ``(ts, *args) -> (ts, metrics)`` dispatch body with the
+        param codec: canonical -> encoded at entry, encoded -> canonical at
+        exit (both INSIDE the jitted program), so TrainState carries
+        canonical params between dispatches while the update loop runs in
+        the training representation."""
+        codec = self._codec
+        if codec is None:
+            return dispatch
+
+        def _enc(ts):
+            return dataclasses.replace(
+                ts,
+                params=codec.encode(ts.params),
+                ema_params=(
+                    codec.encode(ts.ema_params)
+                    if ts.ema_params is not None else None
+                ),
+            )
+
+        def _dec(ts):
+            return dataclasses.replace(
+                ts,
+                params=codec.decode(ts.params),
+                ema_params=(
+                    codec.decode(ts.ema_params)
+                    if ts.ema_params is not None else None
+                ),
+            )
+
+        def wrapped(ts, *args):
+            new_ts, metrics = dispatch(_enc(ts), *args)
+            return _dec(new_ts), metrics
+
+        return wrapped
+
     def _make_train_step(self):
-        return jax.jit(self._step_body(), donate_argnums=(0,))
+        return jax.jit(
+            self._codec_wrap(self._step_body()), donate_argnums=(0,)
+        )
 
     def _make_train_step_scan(self, num_steps: int):
         """``(ts, stacked_batches, base_key) -> (new_ts, stacked_metrics)``:
@@ -270,7 +325,7 @@ class Trainer:
 
             return jax.lax.scan(body, ts, batches, length=num_steps)
 
-        return jax.jit(multi, donate_argnums=(0,))
+        return jax.jit(self._codec_wrap(multi), donate_argnums=(0,))
 
     def _make_train_step_device_resident(self, num_steps: int, spec):
         """``(ts, data, base_key) -> (new_ts, stacked_metrics)``:
@@ -304,7 +359,7 @@ class Trainer:
 
             return jax.lax.scan(body, ts, None, length=num_steps)
 
-        return jax.jit(multi, donate_argnums=(0,))
+        return jax.jit(self._codec_wrap(multi), donate_argnums=(0,))
 
     def _make_val_step(self):
         loss_fn = self._loss_fn
@@ -341,8 +396,14 @@ class Trainer:
         if initial_state is not None:
             state = _tree_merge(state, jax.device_get(initial_state))
 
-        self._tx = self._build_tx(params)
-        opt_state = self._tx.init(params)
+        if self._param_codec_factory is not None:
+            self._codec = self._param_codec_factory(params)
+        # The optimizer (and its trainable/frozen labels) is built over the
+        # ENCODED tree: optimizer state persists across dispatches in the
+        # training representation.
+        enc = self._codec.encode(params) if self._codec else params
+        self._tx = self._build_tx(enc)
+        opt_state = self._tx.init(enc)
         ema_params = params if self._ema_rate is not None else None
 
         # put_with_sharding, not device_put: correct on one host AND across

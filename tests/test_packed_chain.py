@@ -16,6 +16,7 @@ import optax
 import pytest
 
 from posterior_matching_tpu.models.pixelcnn import (
+    PackedChainCodec,
     PixelCNN,
     is_chain_param,
     pack_chain_params,
@@ -129,5 +130,107 @@ def test_packed_training_equivalence(dropout):
     ):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=1e-6, atol=1e-7,
+            err_msg=str(pa),
+        )
+
+
+def test_trainer_codec_equivalence():
+    """Trainer(param_codec=PackedChainCodec.factory(...)) — the real CLI
+    path (train_pm_vqvae.py) — must produce the SAME canonical params as
+    canonical per-leaf training: the codec en/decodes inside each dispatch,
+    the optimizer (incl. the multi_transform freeze labels) runs over the
+    encoded tree, and TrainState.params stays canonical between dispatches
+    (checkpoint ABI unchanged)."""
+    from posterior_matching_tpu import masking
+    from posterior_matching_tpu.data.datasets import ArrayDataset
+    from posterior_matching_tpu.models.pm_vqvae import PMVQVAE
+    from posterior_matching_tpu.train import Trainer
+
+    vq_config = {
+        "output_channels": 1,
+        "embedding_dim": 8,
+        "num_embeddings": 16,
+        "hidden_units": 8,
+        "residual_blocks": 1,
+        "residual_hidden_units": 8,
+        "decay": 0.99,
+        "use_ema": True,
+        "commitment_cost": 0.25,
+    }
+    pc_config = {
+        "image_shape": (4, 4),
+        "num_resnet": 2,
+        "num_hierarchies": 1,
+        "num_filters": 8,
+        "dropout": 0.5,
+        "num_indices": 16,
+        "fused_chain": "interpret",
+    }
+    model = PMVQVAE.from_config(16, vq_config, pc_config)
+    rng = np.random.RandomState(0)
+    images = (rng.rand(16, 16, 16, 1) > 0.5).astype(np.float32)
+    mask_fn = masking.get_mask_generator("BernoulliMaskGenerator", p=0.5)
+
+    def prologue(batch, key):
+        return masking.add_mask(batch, key, mask_fn)
+
+    def init_fn(key, batch):
+        k1, k2 = jax.random.split(key)
+        variables = model.init(
+            {"params": k1, "dropout": k2}, batch["image"], batch["mask"],
+            training=True,
+        )
+        params = variables.pop("params")
+        return params, dict(variables)
+
+    def trainable_predicate(module_name, name, value):
+        return not module_name.startswith("vqvae")
+
+    def fit(use_codec):
+        codec_cell = []
+
+        def codec_factory(init_params):
+            codec = PackedChainCodec(
+                init_params, num_resnet=2, num_filters=8
+            )
+            codec_cell.append(codec)
+            return codec
+
+        def loss_fn(params, state, key, step, batch, is_training):
+            packed = None
+            if codec_cell and codec_cell[0].is_encoded(params):
+                params, packed = codec_cell[0].split_encoded(params)
+            ll, _ = model.apply(
+                {"params": params, **state},
+                batch["image"], batch["mask"], training=is_training,
+                rngs={"dropout": key}, mutable=["vq_ema"],
+                packed_chain=packed,
+            )
+            return -jnp.mean(ll), {}, state
+
+        ds = ArrayDataset({"image": images}, batch_size=8)
+        trainer = Trainer(
+            loss_fn, init_fn, optax.adam(1e-3),
+            trainable_predicate=trainable_predicate,
+            prologue_fn=prologue, seed=3, steps_per_call=2,
+            rng_impl=None,
+            param_codec=codec_factory if use_codec else None,
+        )
+        return trainer.fit(ds, steps=4, validation_freq=100)
+
+    ts_canon = fit(False)
+    ts_codec = fit(True)
+
+    p_c = jax.device_get(ts_canon.params)
+    p_k = jax.device_get(ts_codec.params)
+    # TrainState.params is CANONICAL in both runs (same structure)...
+    assert jax.tree.structure(p_c) == jax.tree.structure(p_k)
+    # ...with the same values (elementwise adam commutes with packing)
+    for (pa, a), (_, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(p_c), key=str),
+        sorted(jax.tree_util.tree_leaves_with_path(p_k), key=str),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
             err_msg=str(pa),
         )

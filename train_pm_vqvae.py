@@ -112,7 +112,39 @@ def main(_):
         compute_dtype=config.get("compute_dtype", None),
     )
 
+    # packed_chain (None = auto: on when the TPU fused-chain kernels run):
+    # train with the PixelCNN chain weights in kernel-native stacked form —
+    # the optimizer sees ~26 stacked tensors instead of ~100 per-level
+    # leaves and the per-step kernel-form derivation copies vanish.
+    # Checkpoints/eval stay canonical (the codec en/decodes inside each
+    # dispatch); exact for elementwise optimizers (tests/test_packed_chain).
+    use_packed = config.get("packed_chain", None)
+    if use_packed is None:
+        use_packed = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("PM_TPU_FUSED_CHAIN") != "0"
+            and config.pixel_cnn.num_hierarchies == 1
+        )
+    codec_cell = []
+
+    def codec_factory(init_params):
+        from posterior_matching_tpu.models.pixelcnn import PackedChainCodec
+
+        codec = PackedChainCodec(
+            init_params,
+            num_resnet=config.pixel_cnn.num_resnet,
+            num_filters=config.pixel_cnn.num_filters,
+            receptive_field_dims=tuple(
+                config.pixel_cnn.get("receptive_field_dims", (3, 3))
+            ),
+        )
+        codec_cell.append(codec)
+        return codec
+
     def loss_fn(params, state, key, step, batch, is_training):
+        packed = None
+        if codec_cell and codec_cell[0].is_encoded(params):
+            params, packed = codec_cell[0].split_encoded(params)
         ll, new_state = model.apply(
             {"params": params, **state},
             batch["image"],
@@ -120,6 +152,7 @@ def main(_):
             training=is_training,
             rngs={"dropout": key},
             mutable=["vq_ema"],
+            packed_chain=packed,
         )
         return -jnp.mean(ll), {}, state  # vqvae frozen: keep its EMA state
 
@@ -156,6 +189,7 @@ def main(_):
         steps_per_call=config.get("steps_per_call", 1),
         prologue_fn=prologue,
         val_prologue_fn=make_val_prologue(config.data),
+        param_codec=codec_factory if use_packed else None,
     )
 
     run_dir = make_run_dir(prefix=f"pm-vqvae-{config.data.dataset}")
