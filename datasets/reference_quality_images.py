@@ -75,12 +75,23 @@ def _load_our_config(name):
 
 def _load_split(dataset, split, normalize):
     data_dir = os.environ.get("PM_TPU_DATA_DIR", os.path.join(REPO_ROOT, "data"))
-    z = np.load(os.path.join(data_dir, dataset, f"{split}.npz"))
-    key = "image" if "image" in z else "features"
-    x = np.asarray(z[key], np.float32)
+    path = os.path.join(data_dir, dataset, f"{split}.npz")
+    if not os.path.exists(path) and split == "val":
+        # celeb_a names its held-out split "validation" (TFDS convention)
+        alt = os.path.join(data_dir, dataset, "validation.npz")
+        path = alt if os.path.exists(alt) else path
+    z = np.load(path)
+    arrays = {k: np.asarray(z[k]) for k in z.files}
+    y = np.asarray(arrays["label"]) if "label" in arrays else None
+    # same one-time spatial transform as our pipeline (celeb_a center-crop
+    # -> 64x64, parity-tested against reference utils.py:68-77)
+    from posterior_matching_tpu.data.datasets import _prepare_image_arrays
+
+    arrays = _prepare_image_arrays(dataset, arrays)
+    key = "image" if "image" in arrays else "features"
+    x = np.asarray(arrays[key], np.float32)
     if key == "image" and normalize:
         x = x / 255.0
-    y = np.asarray(z["label"]) if "label" in z else None
     return x, y, key
 
 
@@ -214,8 +225,16 @@ def stage_pm_vqvae(args):
     import haiku as hk
     import optax
 
-    from posterior_matching.masking import RectangleMaskGenerator
+    from posterior_matching import masking as ref_masking
     from posterior_matching.models.pixel_cnn import PixelCNN
+
+    def get_mask_generator(name):
+        # the reference's registry (masking.py:328-336) omits some concrete
+        # classes (e.g. RectangleMaskGenerator); fall back to the class name
+        try:
+            return ref_masking.get_mask_generator(name)
+        except KeyError:
+            return getattr(ref_masking, name)()
     from posterior_matching.models.vqvae import (
         VQVAE, VQVAEPartialEncoder, vqvae_impute)
 
@@ -258,7 +277,9 @@ def stage_pm_vqvae(args):
         optax.scale(-1.0),
     )
 
-    mask_gen = RectangleMaskGenerator()
+    # the config's own generator (reference train_pm_vqvae.py resolves the
+    # same string via masking.get_mask_generator)
+    mask_gen = get_mask_generator(config.data.mask_generator)
     rng = np.random.RandomState(args.seed)
 
     def batch_fn(step):
@@ -315,7 +336,7 @@ def stage_pm_vqvae(args):
     if args.num_instances:
         n_eval = min(n_eval, (args.num_instances // eval_bs) * eval_bs)
 
-    eval_mask_gen = RectangleMaskGenerator()
+    eval_mask_gen = get_mask_generator(config.data.mask_generator)
     eval_prng = hk.PRNGSequence(91)  # reference eval_pm_vqvae.py:157
     per_trial = []
     for trial in range(args.num_trials):

@@ -19,9 +19,19 @@ from __future__ import annotations
 
 import os
 import warnings
+import zlib
 from typing import Dict, Optional, Tuple
 
 import numpy as np
+
+
+def _synth_seed(dataset: str, split: str) -> int:
+    """Stable per-(dataset, split) seed. Python's ``hash()`` is salted per
+    process (PYTHONHASHSEED), so it must never seed the 'deterministic'
+    stand-in — a train CLI and a later eval CLI would silently see
+    different data. crc32 is process-stable."""
+    return zlib.crc32(f"{dataset}/{split}".encode()) % (2**31)
+
 
 UCI_DIMS = {"gas": 8, "power": 6, "hepmass": 21, "miniboone": 43, "bsds": 63}
 
@@ -53,7 +63,7 @@ def _warn_synthetic(dataset: str):
 def _synthetic_uci(dataset: str, split: str) -> Dict[str, np.ndarray]:
     d = UCI_DIMS[dataset]
     n = _SYNTH_SIZES.get(split, 1024)
-    rng = np.random.RandomState(abs(hash((dataset, split))) % (2**31))
+    rng = np.random.RandomState(_synth_seed(dataset, split))
     # a correlated gaussian mixture: non-trivial structure for imputation
     k = 4
     means = rng.randn(k, d) * 2.0
@@ -68,7 +78,7 @@ def _synthetic_uci(dataset: str, split: str) -> Dict[str, np.ndarray]:
 def _synthetic_image(dataset: str, split: str) -> Dict[str, np.ndarray]:
     h, w, c = IMAGE_SHAPES[dataset]
     n = _SYNTH_SIZES.get(split, 1024)
-    rng = np.random.RandomState(abs(hash((dataset, split))) % (2**31))
+    rng = np.random.RandomState(_synth_seed(dataset, split))
     labels = rng.randint(0, 10, size=n).astype(np.int64)
     # smooth blobs whose position/size depend on the label -> learnable
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
