@@ -830,7 +830,8 @@ def unpack_chain_params(
     def put_conv(tag, stack, which, k_flat, bias):
         sub = pc[f"{tag}_conv_{which}"]["Conv_0"]
         (r0, r1), (c0, c1) = slc[stack]
-        kern = sub["kernel"]
+        # host-side callers (checkpoint save) hand numpy trees — .at needs jnp
+        kern = jnp.asarray(sub["kernel"])
         block = k_flat.reshape(
             r1 - r0, c1 - c0, kern.shape[2], kern.shape[3]
         )

@@ -272,15 +272,22 @@ class Encoder(nn.Module):
             ):
                 j += 1
             run = blocks[i:j]
+            from posterior_matching_tpu.ops.block_chain import (
+                block_chain,
+                chain_supported,
+            )
+
+            cdt = (
+                jnp.dtype(self.compute_dtype)
+                if self.compute_dtype is not None else jnp.float32
+            )
             use_kernel = (
                 fused
                 and len(run) >= 2
                 and h.shape[-1] == widths[res]   # residual width match
+                and chain_supported(h.shape[0], h.shape[1], h.shape[2], cdt)
             )
             if use_kernel:
-                from posterior_matching_tpu.ops.block_chain import (
-                    block_chain,
-                )
 
                 mid = int(widths[res] * self.bottleneck_multiple)
                 k = 3 if res > 2 else 1
@@ -301,10 +308,7 @@ class Encoder(nn.Module):
                     })
                 h = block_chain(
                     h, per_level, mid=mid, k=k,
-                    compute_dtype=(
-                        jnp.dtype(self.compute_dtype)
-                        if self.compute_dtype is not None else jnp.float32
-                    ),
+                    compute_dtype=cdt,
                     interpret=(fused == "interpret"),
                 )
             elif run:

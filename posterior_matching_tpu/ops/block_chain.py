@@ -100,8 +100,8 @@ class BlockChainConfig(NamedTuple):
     mid: int       # bottleneck width (middle_width)
     k: int         # conv kernel size of c2/c3 (3 at res > 2, else 1)
     cdtype: str = "float32"
-    bc_fwd: int = 4
-    bc_bwd: int = 2
+    bc_fwd: int = 1
+    bc_bwd: int = 1
     interpret: bool = False
 
 
@@ -532,6 +532,16 @@ def _build_chain(cfg: BlockChainConfig, batch: int, L: int):
     return chain
 
 
+def chain_supported(batch: int, h: int, w: int, compute_dtype=jnp.float32) -> bool:
+    """Whether the chain kernels can legally tile this geometry: even the
+    full-batch chunk must satisfy Mosaic's sublane rule for the per-level
+    save blocks (``batch*h*w`` divisible by 8, 16 at sub-4-byte compute).
+    Callers fall back to the unfused XLA blocks when False (only tiny test
+    geometries fail — e.g. batch 2 at a 1x1 resolution)."""
+    mod = 16 if jnp.dtype(compute_dtype).itemsize < 4 else 8
+    return (batch * h * w) % mod == 0
+
+
 def _snap_chunk(bc: int, batch: int, hw: int, mod: int) -> int:
     """Largest batch divisor <= the requested chunk whose block leading dim
     ``bc*hw`` satisfies Mosaic's sublane-tiling rule (divisible by 8, 16 at
@@ -554,8 +564,8 @@ def block_chain(
     mid: int,
     k: int,
     compute_dtype=jnp.float32,
-    bc_fwd: int = 4,
-    bc_bwd: int = 2,
+    bc_fwd: int = 1,
+    bc_bwd: int = 1,
     interpret: bool = False,
 ):
     """Runs L consecutive residual bottleneck blocks as ONE streamed fwd
