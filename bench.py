@@ -503,9 +503,10 @@ def _probe_backend_once(timeout_s=300):
     """Cheap grantability probe in a fresh subprocess: a wedged TPU lease
     hangs client creation indefinitely (observed 2026-08-17: a Pallas kernel
     dying in PJRT occupied the remote lease for hours). Returns
-    ``(ok, stop_retrying)``: a timeout is the wedge signature and a spawn
-    failure is environmental — neither is worth retrying; a fast nonzero
-    exit is a transient tunnel error that is."""
+    ``(ok, failure_kind)`` with ``failure_kind`` one of ``None`` (success),
+    ``"fast"`` (nonzero exit — a transient tunnel error, worth retrying),
+    ``"hang"`` (timeout — a wedged OR transiently-held lease), or
+    ``"spawn"`` (could not even start a process — environmental, final)."""
     code = (
         "import jax, jax.numpy as jnp;"
         "print('OK', float(jnp.sum(jnp.ones((8, 8)))))"
@@ -515,29 +516,50 @@ def _probe_backend_once(timeout_s=300):
             [sys.executable, "-c", code], capture_output=True, text=True,
             timeout=timeout_s,
         )
-        return (proc.returncode == 0 and "OK 64.0" in proc.stdout, False)
+        ok = proc.returncode == 0 and "OK 64.0" in proc.stdout
+        return (ok, None if ok else "fast")
     except subprocess.TimeoutExpired:
-        return (False, True)
-    except Exception:  # noqa: BLE001 — spawn failure: treat as wedge-like
-        return (False, True)  # not a transient tunnel error; don't retry
+        return (False, "hang")
+    except Exception:  # noqa: BLE001 — spawn failure: environmental
+        return (False, "spawn")
 
 
-def _probe_backend(timeout_s=300, max_attempts=3, retry_gap_s=30):
-    """Probe with retries on FAST failures only (transient HTTP 500s through
-    the tunnel — the exact round-1 failure mode). A probe that times out is
-    a wedged lease: retrying would just re-enter the claim queue and burn
-    ~5 min per attempt, so stop immediately and let the caller fall back to
-    the banked capture."""
+def _probe_backend(timeout_s=300, max_attempts=3, retry_gap_s=30,
+                   hang_retries=1):
+    """Probe with retries on FAST failures (transient HTTP 500s through
+    the tunnel — the exact round-1 failure mode). A probe that times out
+    is EITHER a wedged lease (not worth re-entering the claim queue for)
+    OR another process transiently holding the single-chip lease — e.g. a
+    long compile from an earlier run still finishing (observed 2026-08-20:
+    the probe declared "wedged" while a killed trace run's lease was still
+    draining, and the capture needlessly fell back to the banked record).
+    One hang-retry (after a full probe-timeout of waiting) distinguishes
+    the two: a transient holder releases, a true wedge hangs again."""
+    hangs = 0
     for attempt in range(max_attempts):
-        ok, stop_retrying = _probe_backend_once(timeout_s)
+        ok, failure = _probe_backend_once(timeout_s)
         if ok:
             return True
-        if stop_retrying:
+        if failure == "spawn":
             print(
-                "# backend probe hung or could not spawn — not retrying",
+                "# backend probe could not spawn — not retrying",
                 file=sys.stderr,
             )
             return False
+        if failure == "hang":
+            hangs += 1
+            if hangs > hang_retries:
+                print(
+                    f"# backend probe hung {hangs}x — wedged lease, "
+                    "giving up", file=sys.stderr,
+                )
+                return False
+            print(
+                "# backend probe hung — retrying once in case another "
+                "process transiently holds the lease", file=sys.stderr,
+            )
+            time.sleep(retry_gap_s)
+            continue
         print(
             f"# backend probe attempt {attempt + 1}/{max_attempts} failed "
             "fast (transient tunnel error)",

@@ -105,6 +105,29 @@ def test_probe_backend_handles_spawn_failure(bench, monkeypatch):
     assert bench._probe_backend() is False
 
 
+def test_probe_backend_retries_one_hang(bench, monkeypatch):
+    # A transiently-held lease (another process finishing a long compile)
+    # hangs the first probe and releases before the retry; the probe must
+    # NOT declare the backend wedged (observed 2026-08-20).
+    outcomes = iter([(False, "hang"), (True, None)])
+    monkeypatch.setattr(
+        bench, "_probe_backend_once", lambda *a, **k: next(outcomes)
+    )
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    assert bench._probe_backend() is True
+
+
+def test_probe_backend_two_hangs_is_wedged(bench, monkeypatch):
+    # A true wedge hangs the retry too — give up (each hang already costs a
+    # full probe timeout; re-entering the claim queue forever would burn the
+    # whole capture budget).
+    monkeypatch.setattr(
+        bench, "_probe_backend_once", lambda *a, **k: (False, "hang")
+    )
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    assert bench._probe_backend() is False
+
+
 def test_baseline_clamped_up_to_recorded_best(bench):
     """Relay-latency noise slows the host baseline 2x between sessions on
     identical code; vs_baseline must only ever UNDERSTATE the win."""
