@@ -535,8 +535,12 @@ def _probe_backend(timeout_s=300, max_attempts=3, retry_gap_s=30,
     draining, and the capture needlessly fell back to the banked record).
     One hang-retry (after a full probe-timeout of waiting) distinguishes
     the two: a transient holder releases, a true wedge hangs again."""
+    # Hang retries are budgeted SEPARATELY from fast-failure retries
+    # (advisor r4: a hang on the final fast attempt used to print
+    # "retrying", sleep, then exhaust the loop without actually retrying).
     hangs = 0
-    for attempt in range(max_attempts):
+    fast_failures = 0
+    while True:
         ok, failure = _probe_backend_once(timeout_s)
         if ok:
             return True
@@ -560,14 +564,15 @@ def _probe_backend(timeout_s=300, max_attempts=3, retry_gap_s=30,
             )
             time.sleep(retry_gap_s)
             continue
+        fast_failures += 1
         print(
-            f"# backend probe attempt {attempt + 1}/{max_attempts} failed "
-            "fast (transient tunnel error)",
+            f"# backend probe fast failure {fast_failures}/{max_attempts} "
+            "(transient tunnel error)",
             file=sys.stderr,
         )
-        if attempt + 1 < max_attempts:
-            time.sleep(retry_gap_s)
-    return False
+        if fast_failures >= max_attempts:
+            return False
+        time.sleep(retry_gap_s)
 
 
 def _merge_reference_ratio(out, fresh_ref_sps=None):
@@ -677,6 +682,9 @@ def _compose_and_emit(results, fresh_ref_sps=None, bank=True):
         out["eval_grids_per_sec"] = RECORDED_EVAL_GRIDS_PER_SEC
         out["eval_grids_source"] = "recorded_2026-08-16"
     _merge_reference_ratio(out, fresh_ref_sps)
+    # Explicit live-measurement provenance (VERDICT r4 item 4): a fresh
+    # capture says cached: false; only _emit_banked_capture flips it.
+    out["cached"] = False
     out["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     if bank:
         # Bank the fresh capture for a wedged-chip fallback later the round.

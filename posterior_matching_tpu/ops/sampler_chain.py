@@ -1,0 +1,491 @@
+"""Pallas per-row PixelCNN sampler kernel (the eval hot loop).
+
+The incrementally-cached sampler (models/pixelcnn_fast.py) made each pixel
+O(1) network work, but its per-pixel horizontal chain is ~2*num_resnet
+sequential [n, ~10F] @ [~10F, F] matmuls issued as separate XLA ops inside a
+``lax.scan`` — measured ~5% MXU at the eval-protocol shapes (BASELINE.md
+roadmap: 0.132 s/batch vs a ~9-26 ms compute/weight-stream floor).  The
+recoverable slack is per-op dispatch latency on the sequential critical path,
+exactly what a fused kernel removes.
+
+This module runs ONE Pallas kernel per image ROW with grid ``(wid, L)``,
+L = 2*num_resnet gated levels, level index fastest:
+
+- the fused per-level weight stacks ([12F, F] for conv_a incl. the aux cue,
+  [8F, 2F] for conv_b) are streamed by the level grid index — Mosaic
+  prefetches level l+1's weights while level l computes, so the ~levels*2.5MB
+  of weights never need to be VMEM-resident at once;
+- the chain carry (current pixel's running value), the previous pixel's
+  per-level values (the (0,-1) taps), and the per-level gated intermediates
+  live in VMEM scratch across the whole row — zero HBM round trips on the
+  sequential path;
+- the previous ROW's per-level tensors (the (-1,-1)/(-1,0) taps) stream from
+  the previous kernel launch's outputs as two block streams (col c-1 and
+  col c) with no padding copies (col 0 is zero-masked in kernel);
+- sampling happens in-kernel at the last level: ``argmax(logits + gumbel)``
+  where the Gumbel noise is PRECOMPUTED outside with the exact per-pixel key
+  sequence of the cached sampler.  ``jax.random.categorical(k, logits)`` IS
+  ``argmax(logits + jax.random.gumbel(k, logits.shape))``, so given the same
+  key the kernel's draws match the cached sampler's wherever the (f32)
+  logits agree — a bit-comparable acceptance test instead of an untestable
+  in-kernel PRNG (the catch that kept this kernel out of round 4,
+  BASELINE.md roadmap); the sampled index feeds the next pixel through the
+  embedding table in VMEM.
+
+The vertical-stack row pass (whole-row batched convs, already MXU-shaped)
+stays in XLA, computed per row between kernel launches, in the same compute
+dtype.
+
+Reference behavior being accelerated: the raster sampling loop of
+reference pixel_cnn.py:102-123 (one FULL network forward per pixel there).
+Layer structure: reference pixel_cnn.py:451-522.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from posterior_matching_tpu.models.pixelcnn import PixelCNN
+from posterior_matching_tpu.models.pixelcnn_fast import _conv_taps, _dense
+
+f32 = jnp.float32
+
+# Fixed cached-tap order shared by the fused weight stacks and the kernel's
+# concat: (-1,-1), (-1,0), (0,-1), then the in-chain (0,0) tap, then aux.
+_TAP_ORDER = ((-1, -1), (-1, 0), (0, -1), (0, 0))
+
+
+def _celu(x):
+    return jax.nn.elu(jnp.concatenate([x, -x], axis=-1))
+
+
+def _fuse_level(bp, f):
+    """One horizontal gated level's params -> uniform fused stacks.
+
+    Wa is [12F, F]: 4 taps x concat_elu(F)=2F rows + a 4F aux slot.  Up
+    levels (aux = V_i, F wide) scatter their [2F, F] aux kernel into slot
+    rows [8F:9F] (elu(p)) and [10F:11F] (elu(-p)) with zeros between, so the
+    kernel can uniformly feed ``concat_elu(concat(aux_p, aux_q))`` with
+    aux_q = 0 for up levels / the skip tensor for down levels (elu(0) = 0
+    hits the zero rows).  Down levels' [4F, F] aux kernels map directly.
+    """
+    (taps_a, bias_a), (taps_b, bias_b) = bp["a"], bp["b"]
+    tapmap_a = {(dy, dx): w for dy, dx, w in taps_a}
+    wa_taps = jnp.concatenate([tapmap_a[o] for o in _TAP_ORDER], axis=0)
+    aux = bp["aux"]
+    ak, ab = aux["kernel"], aux["bias"]
+    if ak.shape[0] == 2 * f:      # up level: aux input is concat_elu(F)
+        z = jnp.zeros((f, ak.shape[1]), ak.dtype)
+        aux_rows = jnp.concatenate([ak[:f], z, ak[f:], z], axis=0)
+    elif ak.shape[0] == 4 * f:    # down level: concat_elu(2F)
+        aux_rows = ak
+    else:
+        raise ValueError(f"unexpected aux kernel rows {ak.shape[0]}")
+    wa = jnp.concatenate([wa_taps, aux_rows], axis=0)        # [12F, F]
+    ba = bias_a + ab
+    tapmap_b = {(dy, dx): w for dy, dx, w in taps_b}
+    wb = jnp.concatenate([tapmap_b[o] for o in _TAP_ORDER], axis=0)  # [8F,2F]
+    return wa, ba, wb, bias_b
+
+
+def _row_kernel_factory(L, R, n, f, num_idx, cdtype):
+    """Kernel for grid (wid, L): pixel index c slow, gated level l fast."""
+
+    def kernel(
+        wa_ref, ba_ref, wb_ref, bb_ref, cp_ref,
+        ha_ref, hb_ref, ma_ref, mb_ref, aux_ref,
+        hup_ref, h0p_ref, gmb_ref,
+        emb_ref, lw_ref, lb_ref, hlw_ref, hlb_ref,
+        outh_ref, outm_ref, outs_ref, outl_ref,
+        stack, mstack, chain, h0cur,
+    ):
+        c = pl.program_id(0)
+        l = pl.program_id(1)
+        at_edge = c == 0
+
+        # ---- T_0 at the start of each pixel's chain -----------------------
+        @pl.when(l == 0)
+        def _t0():
+            h0p = jnp.where(at_edge, 0.0, h0p_ref[0].astype(f32))
+            h0c = jnp.where(at_edge, 0.0, h0cur[:, :].astype(f32))
+            hl = jnp.dot(
+                jnp.concatenate([h0p, h0c], axis=-1).astype(cdtype),
+                hlw_ref[:, :],
+                preferred_element_type=f32,
+            ) + hlb_ref[0].astype(f32)
+            chain[:, :] = (hup_ref[0].astype(f32) + hl).astype(chain.dtype)
+
+        xin = chain[:, :].astype(f32)
+
+        # previous pixel's value/intermediate of this level (the (0,-1)
+        # taps); read BEFORE overwriting, zero at the row edge
+        old_h = jnp.where(
+            at_edge, 0.0, stack[pl.ds(l, 1), :, :][0].astype(f32)
+        )
+        old_m = jnp.where(
+            at_edge, 0.0, mstack[pl.ds(l, 1), :, :][0].astype(f32)
+        )
+        stack[pl.ds(l, 1), :, :] = xin[None].astype(stack.dtype)
+
+        # aux cue: V_l (up) / W_l (down) from the vertical row pass, plus —
+        # down levels only — the skip tensor (this pixel's value at level
+        # 2R-1-l, already overwritten in ``stack`` earlier this pixel)
+        is_down = l >= R
+        aux_p = aux_ref[0, 0].astype(f32)
+        sk_idx = jnp.where(is_down, 2 * R - 1 - l, 0)
+        sk = stack[pl.ds(sk_idx, 1), :, :][0].astype(f32)
+        aux_q = jnp.where(is_down, sk, 0.0)
+
+        tap_aa = jnp.where(at_edge, 0.0, ha_ref[0, 0].astype(f32))
+        tap_ab = hb_ref[0, 0].astype(f32)
+
+        a_in = jnp.concatenate(
+            [
+                _celu(tap_aa), _celu(tap_ab), _celu(old_h), _celu(xin),
+                jax.nn.elu(aux_p), jax.nn.elu(aux_q),
+                jax.nn.elu(-aux_p), jax.nn.elu(-aux_q),
+            ],
+            axis=-1,
+        )                                                     # [n, 12F]
+        a = jnp.dot(
+            a_in.astype(cdtype), wa_ref[0], preferred_element_type=f32
+        ) + ba_ref[0].astype(f32)
+        m = _celu(a)                                          # [n, 2F]
+
+        tap_ba = jnp.where(at_edge, 0.0, ma_ref[0, 0].astype(f32))
+        tap_bb = mb_ref[0, 0].astype(f32)
+        b_in = jnp.concatenate([tap_ba, tap_bb, old_m, m], axis=-1)  # [n,8F]
+        b = jnp.dot(
+            b_in.astype(cdtype), wb_ref[0], preferred_element_type=f32
+        ) + bb_ref[0].astype(f32) + cp_ref[0].astype(f32)
+        act = b[:, :f]
+        gate = b[:, f:]
+        out = xin + jax.nn.sigmoid(gate) * act
+
+        mstack[pl.ds(l, 1), :, :] = m[None].astype(mstack.dtype)
+        outh_ref[0, 0] = xin.astype(outh_ref.dtype)
+        outm_ref[0, 0] = m.astype(outm_ref.dtype)
+        chain[:, :] = out.astype(chain.dtype)
+
+        # ---- logits + in-kernel Gumbel-argmax sample at the last level ----
+        @pl.when(l == L - 1)
+        def _sample():
+            logits = jnp.dot(
+                jax.nn.elu(out).astype(cdtype), lw_ref[:, :],
+                preferred_element_type=f32,
+            ) + lb_ref[0].astype(f32)
+            y = jnp.argmax(
+                logits + gmb_ref[0].astype(f32), axis=-1
+            ).astype(jnp.int32)
+            outs_ref[0] = y
+            outl_ref[0] = logits
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (n, num_idx), 1)
+                == y[:, None]
+            )
+            h0cur[:, :] = jnp.dot(
+                onehot.astype(cdtype), emb_ref[:, :],
+                preferred_element_type=f32,
+            ).astype(h0cur.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pixel_cnn", "num_samples", "compute_dtype", "interpret",
+        "return_logits",
+    ),
+)
+def pixelcnn_sample_rowkernel(
+    pixel_cnn: PixelCNN,
+    params,
+    key: jax.Array,
+    num_samples: int,
+    conditional_input: Optional[jnp.ndarray] = None,
+    *,
+    compute_dtype: str = "float32",
+    interpret: bool = False,
+    noise: Optional[jnp.ndarray] = None,
+    return_logits: bool = False,
+) -> jnp.ndarray:
+    """Drop-in replacement for ``pixelcnn_sample_fast`` backed by the per-row
+    Pallas kernel.  Same key discipline, same noise sequence; samples match
+    the cached sampler bit-for-bit wherever the logits agree to float
+    rounding (exact in f32; see tests/test_sampler_chain.py).
+
+    Returns [num_samples, B, H, W] int32 (or [num_samples, H, W] when
+    unconditional).
+    """
+    if pixel_cnn.num_hierarchies != 1:
+        raise ValueError("row-kernel sampler supports num_hierarchies == 1")
+    if tuple(pixel_cnn.receptive_field_dims) != (3, 3):
+        raise ValueError(
+            "row-kernel sampler supports receptive_field_dims == (3, 3)"
+        )
+    cdtype = jnp.dtype(compute_dtype)
+
+    fdim = pixel_cnn.num_filters
+    hgt, wid = pixel_cnn.image_shape
+    n_res = pixel_cnn.num_resnet
+    L = 2 * n_res
+    KV = 2 * n_res + 1
+
+    if conditional_input is not None:
+        bsz = conditional_input.shape[0]
+        cond = jnp.broadcast_to(
+            conditional_input[None], (num_samples, *conditional_input.shape)
+        ).reshape((num_samples * bsz, -1)).astype(f32)
+        n = num_samples * bsz
+    else:
+        bsz = None
+        cond = None
+        n = num_samples
+
+    # ---- parameter extraction (same structure as pixelcnn_fast) ----------
+    embed = jnp.asarray(params["embed"]["embedding"], f32)
+    num_idx = embed.shape[0]
+
+    vinit = _conv_taps(params["v_init"], (0, 2), (0, 3))
+    hup = _conv_taps(params["h_init_up"], (0, 1), (0, 3))
+    hleft = _conv_taps(params["h_init_left"], (0, 2), (0, 1))
+
+    def block_params(tag):
+        # valid tap regions: vertical (0,2)x(0,3) — look-right dx=+1 is
+        # causal for the vertical stack; horizontal (0,2)x(0,2)
+        cols = (0, 3) if "vertical" in tag else (0, 2)
+        return {
+            "a": _conv_taps(params[f"{tag}_conv_a"], (0, 2), cols),
+            "b": _conv_taps(params[f"{tag}_conv_b"], (0, 2), cols),
+            "aux": params.get(f"{tag}_aux"),
+            "cond": params.get(f"{tag}_cond_proj"),
+        }
+
+    up_v = [block_params(f"up_0_{r}_vertical") for r in range(n_res)]
+    up_h = [block_params(f"up_0_{r}_horizontal") for r in range(n_res)]
+    dn_v = [block_params(f"dn_0_{r}_vertical") for r in range(n_res)]
+    dn_h = [block_params(f"dn_0_{r}_horizontal") for r in range(n_res)]
+
+    fused = [_fuse_level(b, fdim) for b in up_h + dn_h]
+    wa_s = jnp.stack([x[0] for x in fused]).astype(cdtype)   # [L, 12F, F]
+    ba_s = jnp.stack([x[1] for x in fused]).astype(f32)      # [L, F]
+    wb_s = jnp.stack([x[2] for x in fused]).astype(cdtype)   # [L, 8F, 2F]
+    bb_s = jnp.stack([x[3] for x in fused]).astype(f32)      # [L, 2F]
+
+    def cond_proj(bp):
+        if cond is None or bp["cond"] is None:
+            return jnp.zeros((n, 2 * fdim), f32)
+        return _dense(bp["cond"], cond)
+
+    cp_h = jnp.stack([cond_proj(b) for b in up_h + dn_h])    # [L, n, 2F]
+    cp_upv = [cond_proj(b) for b in up_v]
+    cp_dnv = [cond_proj(b) for b in dn_v]
+
+    hlw = jnp.concatenate([w for _, _, w in hleft[0]], axis=0).astype(cdtype)
+    hlb = hleft[1].reshape(1, -1).astype(f32)
+    logits_w = jnp.asarray(
+        params["logits_conv"]["kernel"][0, 0], cdtype
+    )                                                        # [F, NI]
+    logits_b = jnp.asarray(
+        params["logits_conv"]["bias"], f32
+    ).reshape(1, -1)
+    emb_cd = embed.astype(cdtype)
+
+    # vertical row-pass weights, cast once
+    def cast_taps(tb):
+        taps, bias = tb
+        return [(dy, dx, w.astype(cdtype)) for dy, dx, w in taps], bias
+
+    vinit = cast_taps(vinit)
+    hup = cast_taps(hup)
+    for bp in up_v + dn_v:
+        bp["a"] = cast_taps(bp["a"])
+        bp["b"] = cast_taps(bp["b"])
+
+    # ---- vertical row pass in [wid, n, F] layout --------------------------
+    def shift0(x, dx):
+        """out[c] = x[c + dx] along axis 0 (zero padded)."""
+        if dx == 0:
+            return x
+        w = x.shape[0]
+        if dx < 0:
+            return jnp.pad(x, ((-dx, 0), (0, 0), (0, 0)))[:w]
+        return jnp.pad(x, ((0, dx), (0, 0), (0, 0)))[dx:]
+
+    def row_conv(taps_bias, rows):
+        taps, bias = taps_bias
+        acc = None
+        for dy, dx, w in taps:
+            term = jnp.dot(
+                shift0(rows[dy], dx).astype(cdtype), w,
+                preferred_element_type=f32,
+            )
+            acc = term if acc is None else acc + term
+        return acc + bias
+
+    def gated_row(bp, cproj, in_prev, in_cur, m_prev, aux_row):
+        a = row_conv(
+            bp["a"], {-1: _celu(in_prev), 0: _celu(in_cur)}
+        )
+        if aux_row is not None:
+            a = a + _dense(
+                jax.tree.map(lambda v: v.astype(cdtype), bp["aux"]),
+                _celu(aux_row).astype(cdtype),
+            )
+        m = _celu(a)
+        b = row_conv(bp["b"], {-1: m_prev, 0: m}) + cproj[None]
+        act, gate = jnp.split(b, 2, axis=-1)
+        return in_cur + jax.nn.sigmoid(gate) * act, m
+
+    def row_pass(e2, e1, vprev, vmprev):
+        v_rows = [row_conv(vinit, {-2: e2, -1: e1})]
+        m_rows = []
+        for i in range(n_res):
+            out, m = gated_row(
+                up_v[i], cp_upv[i], vprev[i], v_rows[i], vmprev[i], None
+            )
+            v_rows.append(out)
+            m_rows.append(m)
+        w_rows = [v_rows[n_res]]
+        for i in range(n_res):
+            out, m = gated_row(
+                dn_v[i], cp_dnv[i], vprev[n_res + i], w_rows[i],
+                vmprev[n_res + i], v_rows[n_res - 1 - i],
+            )
+            w_rows.append(out)
+            m_rows.append(m)
+        hup_row = row_conv(hup, {-1: e1})
+        new_vprev = jnp.stack(v_rows + w_rows[1:])
+        new_vmprev = jnp.stack(m_rows)
+        aux_rows = jnp.stack(v_rows[1:] + w_rows[1:], axis=1)  # [wid,L,n,F]
+        return aux_rows, hup_row, new_vprev, new_vmprev
+
+    # ---- per-row kernel ---------------------------------------------------
+    kernel = _row_kernel_factory(L, n_res, n, fdim, num_idx, cdtype)
+
+    def lvl_spec(rows, cols):
+        return pl.BlockSpec((1, rows, cols), lambda c, l: (l, 0, 0))
+
+    def lvl_vec_spec(cols):
+        return pl.BlockSpec((1, cols), lambda c, l: (l, 0))
+
+    def colm1_lvl_spec(cols):
+        return pl.BlockSpec(
+            (1, 1, n, cols),
+            lambda c, l: (jnp.maximum(c - 1, 0), l, 0, 0),
+        )
+
+    def col_lvl_spec(cols):
+        return pl.BlockSpec((1, 1, n, cols), lambda c, l: (c, l, 0, 0))
+
+    def col_spec(cols, minus1=False):
+        if minus1:
+            return pl.BlockSpec(
+                (1, n, cols), lambda c, l: (jnp.maximum(c - 1, 0), 0, 0)
+            )
+        return pl.BlockSpec((1, n, cols), lambda c, l: (c, 0, 0))
+
+    def full_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda c, l: (0,) * nd)
+
+    in_specs = [
+        lvl_spec(12 * fdim, fdim),          # wa
+        lvl_vec_spec(fdim),                 # ba
+        lvl_spec(8 * fdim, 2 * fdim),       # wb
+        lvl_vec_spec(2 * fdim),             # bb
+        lvl_spec(n, 2 * fdim),              # cproj
+        colm1_lvl_spec(fdim),               # ha (prev row, col c-1)
+        col_lvl_spec(fdim),                 # hb (prev row, col c)
+        colm1_lvl_spec(2 * fdim),           # ma
+        col_lvl_spec(2 * fdim),             # mb
+        col_lvl_spec(fdim),                 # aux
+        col_spec(fdim),                     # hup
+        col_spec(fdim, minus1=True),        # h0prev (col c-1)
+        col_spec(num_idx),                  # gumbel
+        full_spec((num_idx, fdim)),         # embed
+        full_spec((fdim, num_idx)),         # logits_w
+        full_spec((1, num_idx)),            # logits_b
+        full_spec((2 * fdim, fdim)),        # hleft_w
+        full_spec((1, fdim)),               # hleft_b
+    ]
+    out_specs = [
+        col_lvl_spec(fdim),                                     # out_h
+        col_lvl_spec(2 * fdim),                                 # out_m
+        pl.BlockSpec((1, n), lambda c, l: (c, 0)),              # out_s
+        col_spec(num_idx),                                      # out_logits
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((wid, L, n, fdim), cdtype),
+        jax.ShapeDtypeStruct((wid, L, n, 2 * fdim), cdtype),
+        jax.ShapeDtypeStruct((wid, n), jnp.int32),
+        jax.ShapeDtypeStruct((wid, n, num_idx), f32),
+    ]
+    scratch = [
+        pltpu.VMEM((L, n, fdim), cdtype),        # stack
+        pltpu.VMEM((L, n, 2 * fdim), cdtype),    # mstack
+        pltpu.VMEM((n, fdim), cdtype),           # chain
+        pltpu.VMEM((n, fdim), cdtype),           # h0cur
+    ]
+    row_call = pl.pallas_call(
+        kernel,
+        grid=(wid, L),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20
+        ),
+    )
+
+    def row_body(carry, row_noise):
+        e2, e1, vprev, vmprev, prevh, prevm, key = carry
+        aux_rows, hup_row, vprev, vmprev = row_pass(e2, e1, vprev, vmprev)
+
+        if row_noise is None:
+            def kbody(k, _):
+                k, sub = jax.random.split(k)
+                return k, sub
+
+            key, subs = jax.lax.scan(kbody, key, None, length=wid)
+            gmb = jax.vmap(
+                lambda kk: jax.random.gumbel(kk, (n, num_idx), f32)
+            )(subs)
+        else:
+            gmb = row_noise
+
+        outh, outm, s_row, l_row = row_call(
+            wa_s, ba_s, wb_s, bb_s, cp_h.astype(cdtype),
+            prevh, prevh, prevm, prevm, aux_rows.astype(cdtype),
+            hup_row.astype(cdtype), e1, gmb,
+            emb_cd, logits_w, logits_b, hlw, hlb,
+        )
+        e_row = jnp.take(emb_cd, s_row, axis=0)              # [wid, n, F]
+        return (e1, e_row, vprev, vmprev, outh, outm, key), (s_row, l_row)
+
+    init = (
+        jnp.zeros((wid, n, fdim), cdtype),                   # e_{-2}
+        jnp.zeros((wid, n, fdim), cdtype),                   # e_{-1}
+        jnp.zeros((KV, wid, n, fdim), f32),                  # vprev
+        jnp.zeros((L, wid, n, 2 * fdim), f32),               # vmprev
+        jnp.zeros((wid, L, n, fdim), cdtype),                # prevh
+        jnp.zeros((wid, L, n, 2 * fdim), cdtype),            # prevm
+        key,
+    )
+    _, (samples, logits) = jax.lax.scan(
+        row_body, init, noise, length=hgt
+    )
+    samples = jnp.transpose(samples, (2, 0, 1))              # [n, H, W]
+    if bsz is not None:
+        samples = samples.reshape((num_samples, bsz, hgt, wid))
+    if return_logits:
+        return samples, jnp.transpose(logits, (2, 0, 1, 3))  # [n, H, W, NI]
+    return samples
