@@ -404,9 +404,13 @@ class DecoderBlock(nn.Module):
             mid, ld * 2 + w, residual=False, use_3x3=use_3x3,
             zero_last=True, compute_dtype=cd, name="prior",
         )
-        self.z_proj = nn.Conv(
-            w, (1, 1), padding="VALID",
-            kernel_init=_scaled_init(float(np.sqrt(1.0 / self.num_blocks))),
+        # z_proj params via _ConvParams (identical tree to the previous
+        # nn.Conv: z_proj/{kernel [1,1,ld,w], bias [w]}) so the fused
+        # decoder-chain kernel can consume them directly; a 1x1 VALID conv
+        # IS the matmul _z_proj applies
+        self.z_proj_params = _ConvParams(
+            (1, 1, ld, w),
+            w_init=_scaled_init(float(np.sqrt(1.0 / self.num_blocks))),
             name="z_proj",
         )
         self.resnet = Block(
@@ -462,11 +466,52 @@ class DecoderBlock(nn.Module):
             )
         return x
 
+    def _z_proj(self, z):
+        kernel, bias = self.z_proj_params()
+        return z @ kernel.reshape(self.latent_dim, -1) + bias
+
     def _finish(self, xs, x, z):
-        x = x + self.z_proj(z)
+        x = x + self._z_proj(z)
         x = self.resnet(x)
         out = dict(xs)
         out[self.res] = x
+        return out
+
+    # -- fused decoder-chain hooks (ops/decoder_chain.py) ---------------------
+
+    def sample_rng(self):
+        """The block's own "sample" rng — called once per block by the
+        fused run so the fold-in path (and every sampled bit) matches the
+        unfused ``forward_posterior`` exactly."""
+        return self.make_rng("sample")
+
+    def chain_weights(self, awidth: int):
+        """Kernel-native weight dict for one fused-run level; creates the
+        IDENTICAL param tree via the Blocks' ``return_weights`` path."""
+        w = self.block_width
+        mid = int(w * self.bottleneck_multiple)
+
+        def conv_dict(tag, block, cin):
+            wd = block(jnp.zeros((1, 1, 1, cin)), return_weights=True)
+            return {
+                f"{tag}_w1": wd["c1"][0].reshape(-1, mid),
+                f"{tag}_b1": wd["c1"][1].reshape(1, -1),
+                f"{tag}_w2": wd["c2"][0].reshape(-1, mid),
+                f"{tag}_b2": wd["c2"][1].reshape(1, -1),
+                f"{tag}_w3": wd["c3"][0].reshape(-1, mid),
+                f"{tag}_b3": wd["c3"][1].reshape(1, -1),
+                f"{tag}_w4": wd["c4"][0].reshape(mid, -1),
+                f"{tag}_b4": wd["c4"][1].reshape(1, -1),
+            }
+
+        out = {}
+        out.update(conv_dict("p", self.posterior_block, w + awidth))
+        out.update(conv_dict("m", self.masked_posterior_block, w + awidth))
+        out.update(conv_dict("q", self.prior_block, w))
+        out.update(conv_dict("r", self.resnet, w))
+        zk, zb = self.z_proj_params()
+        out["wz"] = zk.reshape(self.latent_dim, -1)
+        out["bz"] = zb.reshape(1, -1)
         return out
 
     @staticmethod
@@ -575,6 +620,21 @@ class Decoder(nn.Module):
     num_mixtures: int
     custom_width_string: Optional[str] = None
     compute_dtype: Optional[str] = None
+    # Decoder block-run fusion (ops/decoder_chain.py): None = auto (TPU
+    # on, opt-out PM_TPU_FUSED_CHAIN=0), False = off, "interpret" =
+    # interpret-mode kernels (CPU tests) — mirrors Encoder.fused_chain
+    fused_chain: Optional[Any] = None
+
+    def _fused_mode(self):
+        import os
+
+        mode = self.fused_chain
+        if mode is None:
+            mode = (
+                jax.default_backend() == "tpu"
+                and os.environ.get("PM_TPU_FUSED_CHAIN") != "0"
+            )
+        return mode
 
     def setup(self):
         widths = get_width_settings(self.width, self.custom_width_string)
@@ -623,14 +683,104 @@ class Decoder(nn.Module):
     def _final(self, x):
         return x * self.gain + self.bias
 
+    def _fused_run(self, idxs, xs, activations, masked_activations):
+        """Runs consecutive same-resolution DecoderBlocks through ONE
+        streamed fwd + ONE bwd kernel (ops/decoder_chain.py); returns the
+        updated xs and the per-block stats in the unfused contract."""
+        from posterior_matching_tpu.ops.decoder_chain import dec_chain
+
+        blocks = [self.dec_blocks[i] for i in idxs]
+        first = blocks[0]
+        res = first.res
+        acts = activations[res]
+        macts = masked_activations[res]
+        batch = acts.shape[0]
+        ld = self.latent_dim
+        x0 = first._get_x(xs, batch, like=acts)
+        eps = jnp.stack([
+            jax.random.normal(
+                b.sample_rng(), (batch, res, res, ld), jnp.float32
+            )
+            for b in blocks
+        ])
+        per_level = [b.chain_weights(acts.shape[-1]) for b in blocks]
+        weights = {
+            n: jnp.stack([lv[n] for lv in per_level]) for n in per_level[0]
+        }
+        cdt = (
+            jnp.dtype(self.compute_dtype)
+            if self.compute_dtype is not None else jnp.float32
+        )
+        x_final, post, prior, mask_raw = dec_chain(
+            x0, acts, macts, eps, weights,
+            mid=int(first.block_width * self.bottleneck_multiple),
+            ld=ld, tril=tril_size(ld), k=3 if res > 2 else 1,
+            compute_dtype=cdt,
+            interpret=(self._fused_mode() == "interpret"),
+        )
+        out = dict(xs)
+        out[res] = x_final
+        stats = []
+        flat = lambda t: t.reshape(batch, -1, t.shape[-1])
+        for off in range(len(blocks)):
+            loc = post[off][..., :ld]
+            scale = softplus_scale(post[off][..., ld:])
+            posterior = MultivariateNormalDiag(loc=loc, scale_diag=scale)
+            pr = MultivariateNormalDiag(
+                loc=prior[off][..., :ld],
+                scale_diag=softplus_scale(prior[off][..., ld:]),
+            )
+            kl = DecoderBlock._sum_spatial(posterior.kl_divergence(pr))
+            pm = dict(
+                raw=flat(mask_raw[off]),
+                loc=flat(jax.lax.stop_gradient(loc)),
+                scale=flat(jax.lax.stop_gradient(scale)),
+            )
+            stats.append(dict(kl=kl, pm=pm))
+        return out, stats
+
     def forward_posterior(self, activations, masked_activations):
+        from posterior_matching_tpu.ops.decoder_chain import (
+            dec_chain_supported,
+        )
+
         xs = self._bias_state()
         stats = []
-        for block in self.dec_blocks:
-            xs, s = block.forward_posterior(
-                xs, activations, masked_activations
-            )
-            stats.append(s)
+        specs = parse_layer_string(self.blocks)
+        fused = self._fused_mode()
+        cdt = (
+            jnp.dtype(self.compute_dtype)
+            if self.compute_dtype is not None else jnp.float32
+        )
+        i = 0
+        while i < len(specs):
+            res, _ = specs[i]
+            # maximal run at this resolution (mixin only at the first
+            # block, folded into the run's x0 prep by _get_x)
+            j = i + 1
+            while (
+                j < len(specs)
+                and specs[j][0] == res
+                and specs[j][1] is None
+            ):
+                j += 1
+            batch = activations[res].shape[0]
+            if (
+                fused
+                and j - i >= 2
+                and dec_chain_supported(batch, res, res, cdt)
+            ):
+                xs, run_stats = self._fused_run(
+                    list(range(i, j)), xs, activations, masked_activations
+                )
+                stats.extend(run_stats)
+            else:
+                for bi in range(i, j):
+                    xs, s = self.dec_blocks[bi].forward_posterior(
+                        xs, activations, masked_activations
+                    )
+                    stats.append(s)
+            i = j
 
         # ONE batched pm_kl across every block's positions (see the note in
         # DecoderBlock.forward_posterior), then per-block sums so the stats
@@ -740,6 +890,7 @@ class PosteriorMatchingVDVAE(nn.Module):
             num_mixtures=self.num_mixtures,
             custom_width_string=self.custom_width_string,
             compute_dtype=self.compute_dtype,
+            fused_chain=self.fused_chain,
             name="decoder",
         )
 

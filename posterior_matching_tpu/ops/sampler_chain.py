@@ -43,6 +43,7 @@ Layer structure: reference pixel_cnn.py:451-522.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -52,6 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from posterior_matching_tpu.models.pixelcnn import PixelCNN
 from posterior_matching_tpu.models.pixelcnn_fast import _conv_taps, _dense
+from posterior_matching_tpu.ops.gated_block import _concat_elu, _elu
 
 f32 = jnp.float32
 
@@ -93,8 +95,11 @@ def _fuse_level(bp, f):
     return wa, ba, wb, bias_b
 
 
-def _row_kernel_factory(L, R, n, f, num_idx, cdtype):
-    """Kernel for grid (wid, L): pixel index c slow, gated level l fast."""
+def _row_kernel_factory(L, R, n, f, num_idx, cdtype, lpg):
+    """Kernel for grid (wid, L // lpg): pixel index c slow, level-group
+    fast.  ``lpg`` gated levels run inside one grid step (the per-grid-step
+    overhead at lpg=1 dominated the measured on-chip time: 6144 steps/batch
+    at the eval shapes); L = 2*num_resnet is always even."""
 
     def kernel(
         wa_ref, ba_ref, wb_ref, bb_ref, cp_ref,
@@ -122,67 +127,75 @@ def _row_kernel_factory(L, R, n, f, num_idx, cdtype):
 
         xin = chain[:, :].astype(f32)
 
-        # previous pixel's value/intermediate of this level (the (0,-1)
-        # taps); read BEFORE overwriting, zero at the row edge
-        old_h = jnp.where(
-            at_edge, 0.0, stack[pl.ds(l, 1), :, :][0].astype(f32)
-        )
-        old_m = jnp.where(
-            at_edge, 0.0, mstack[pl.ds(l, 1), :, :][0].astype(f32)
-        )
-        stack[pl.ds(l, 1), :, :] = xin[None].astype(stack.dtype)
+        for r in range(lpg):
+            lvl = l * lpg + r
 
-        # aux cue: V_l (up) / W_l (down) from the vertical row pass, plus —
-        # down levels only — the skip tensor (this pixel's value at level
-        # 2R-1-l, already overwritten in ``stack`` earlier this pixel)
-        is_down = l >= R
-        aux_p = aux_ref[0, 0].astype(f32)
-        sk_idx = jnp.where(is_down, 2 * R - 1 - l, 0)
-        sk = stack[pl.ds(sk_idx, 1), :, :][0].astype(f32)
-        aux_q = jnp.where(is_down, sk, 0.0)
+            # previous pixel's value/intermediate of this level (the
+            # (0,-1) taps); read BEFORE overwriting, zero at the row edge
+            old_h = jnp.where(
+                at_edge, 0.0, stack[pl.ds(lvl, 1), :, :][0].astype(f32)
+            )
+            old_m = jnp.where(
+                at_edge, 0.0, mstack[pl.ds(lvl, 1), :, :][0].astype(f32)
+            )
+            stack[pl.ds(lvl, 1), :, :] = xin[None].astype(stack.dtype)
 
-        tap_aa = jnp.where(at_edge, 0.0, ha_ref[0, 0].astype(f32))
-        tap_ab = hb_ref[0, 0].astype(f32)
+            # aux cue: V_l (up) / W_l (down) from the vertical row pass,
+            # plus — down levels only — the skip tensor (this pixel's
+            # value at level 2R-1-lvl, overwritten earlier this pixel)
+            is_down = lvl >= R
+            aux_p = aux_ref[0, r].astype(f32)
+            sk_idx = jnp.where(is_down, 2 * R - 1 - lvl, 0)
+            sk = stack[pl.ds(sk_idx, 1), :, :][0].astype(f32)
+            aux_q = jnp.where(is_down, sk, 0.0)
 
-        a_in = jnp.concatenate(
-            [
-                _celu(tap_aa), _celu(tap_ab), _celu(old_h), _celu(xin),
-                jax.nn.elu(aux_p), jax.nn.elu(aux_q),
-                jax.nn.elu(-aux_p), jax.nn.elu(-aux_q),
-            ],
-            axis=-1,
-        )                                                     # [n, 12F]
-        a = jnp.dot(
-            a_in.astype(cdtype), wa_ref[0], preferred_element_type=f32
-        ) + ba_ref[0].astype(f32)
-        m = _celu(a)                                          # [n, 2F]
+            tap_aa = jnp.where(at_edge, 0.0, ha_ref[0, r].astype(f32))
+            tap_ab = hb_ref[0, r].astype(f32)
 
-        tap_ba = jnp.where(at_edge, 0.0, ma_ref[0, 0].astype(f32))
-        tap_bb = mb_ref[0, 0].astype(f32)
-        b_in = jnp.concatenate([tap_ba, tap_bb, old_m, m], axis=-1)  # [n,8F]
-        b = jnp.dot(
-            b_in.astype(cdtype), wb_ref[0], preferred_element_type=f32
-        ) + bb_ref[0].astype(f32) + cp_ref[0].astype(f32)
-        act = b[:, :f]
-        gate = b[:, f:]
-        out = xin + jax.nn.sigmoid(gate) * act
+            # _elu/_concat_elu from gated_block: Mosaic lacks expm1
+            a_in = jnp.concatenate(
+                [
+                    _concat_elu(tap_aa), _concat_elu(tap_ab),
+                    _concat_elu(old_h), _concat_elu(xin),
+                    _elu(aux_p), _elu(aux_q), _elu(-aux_p), _elu(-aux_q),
+                ],
+                axis=-1,
+            )                                                 # [n, 12F]
+            a = jnp.dot(
+                a_in.astype(cdtype), wa_ref[r], preferred_element_type=f32
+            ) + ba_ref[r, 0].astype(f32)
+            m = _concat_elu(a)                                # [n, 2F]
 
-        mstack[pl.ds(l, 1), :, :] = m[None].astype(mstack.dtype)
-        outh_ref[0, 0] = xin.astype(outh_ref.dtype)
-        outm_ref[0, 0] = m.astype(outm_ref.dtype)
-        chain[:, :] = out.astype(chain.dtype)
+            tap_ba = jnp.where(at_edge, 0.0, ma_ref[0, r].astype(f32))
+            tap_bb = mb_ref[0, r].astype(f32)
+            b_in = jnp.concatenate(
+                [tap_ba, tap_bb, old_m, m], axis=-1
+            )                                                 # [n, 8F]
+            b = jnp.dot(
+                b_in.astype(cdtype), wb_ref[r], preferred_element_type=f32
+            ) + bb_ref[r, 0].astype(f32) + cp_ref[r].astype(f32)
+            act = b[:, :f]
+            gate = b[:, f:]
+            out = xin + jax.nn.sigmoid(gate) * act
+
+            mstack[pl.ds(lvl, 1), :, :] = m[None].astype(mstack.dtype)
+            outh_ref[0, r] = xin.astype(outh_ref.dtype)
+            outm_ref[0, r] = m.astype(outm_ref.dtype)
+            xin = out
+
+        chain[:, :] = xin.astype(chain.dtype)
 
         # ---- logits + in-kernel Gumbel-argmax sample at the last level ----
-        @pl.when(l == L - 1)
+        @pl.when(l == L // lpg - 1)
         def _sample():
             logits = jnp.dot(
-                jax.nn.elu(out).astype(cdtype), lw_ref[:, :],
+                _elu(xin).astype(cdtype), lw_ref[:, :],
                 preferred_element_type=f32,
             ) + lb_ref[0].astype(f32)
             y = jnp.argmax(
                 logits + gmb_ref[0].astype(f32), axis=-1
             ).astype(jnp.int32)
-            outs_ref[0] = y
+            outs_ref[0, 0] = y
             outl_ref[0] = logits
             onehot = (
                 jax.lax.broadcasted_iota(jnp.int32, (n, num_idx), 1)
@@ -274,9 +287,11 @@ def pixelcnn_sample_rowkernel(
 
     fused = [_fuse_level(b, fdim) for b in up_h + dn_h]
     wa_s = jnp.stack([x[0] for x in fused]).astype(cdtype)   # [L, 12F, F]
-    ba_s = jnp.stack([x[1] for x in fused]).astype(f32)      # [L, F]
+    # biases ride as [L, 1, cols] so the streamed block's trailing dims
+    # (1, cols) equal the array's (Mosaic tiling legality on real TPU)
+    ba_s = jnp.stack([x[1] for x in fused]).astype(f32)[:, None]  # [L,1,F]
     wb_s = jnp.stack([x[2] for x in fused]).astype(cdtype)   # [L, 8F, 2F]
-    bb_s = jnp.stack([x[3] for x in fused]).astype(f32)      # [L, 2F]
+    bb_s = jnp.stack([x[3] for x in fused]).astype(f32)[:, None]  # [L,1,2F]
 
     def cond_proj(bp):
         if cond is None or bp["cond"] is None:
@@ -367,22 +382,27 @@ def pixelcnn_sample_rowkernel(
         return aux_rows, hup_row, new_vprev, new_vmprev
 
     # ---- per-row kernel ---------------------------------------------------
-    kernel = _row_kernel_factory(L, n_res, n, fdim, num_idx, cdtype)
+    # levels per grid step: amortizes Mosaic's per-grid-step overhead
+    # (measured on-chip dominant at lpg=1); L = 2*n_res is always even
+    lpg = int(os.environ.get("PM_TPU_SAMPLER_LPG", "4"))
+    while L % lpg:
+        lpg -= 1
+    kernel = _row_kernel_factory(L, n_res, n, fdim, num_idx, cdtype, lpg)
 
     def lvl_spec(rows, cols):
-        return pl.BlockSpec((1, rows, cols), lambda c, l: (l, 0, 0))
+        return pl.BlockSpec((lpg, rows, cols), lambda c, l: (l, 0, 0))
 
     def lvl_vec_spec(cols):
-        return pl.BlockSpec((1, cols), lambda c, l: (l, 0))
+        return pl.BlockSpec((lpg, 1, cols), lambda c, l: (l, 0, 0))
 
     def colm1_lvl_spec(cols):
         return pl.BlockSpec(
-            (1, 1, n, cols),
+            (1, lpg, n, cols),
             lambda c, l: (jnp.maximum(c - 1, 0), l, 0, 0),
         )
 
     def col_lvl_spec(cols):
-        return pl.BlockSpec((1, 1, n, cols), lambda c, l: (c, l, 0, 0))
+        return pl.BlockSpec((1, lpg, n, cols), lambda c, l: (c, l, 0, 0))
 
     def col_spec(cols, minus1=False):
         if minus1:
@@ -418,13 +438,13 @@ def pixelcnn_sample_rowkernel(
     out_specs = [
         col_lvl_spec(fdim),                                     # out_h
         col_lvl_spec(2 * fdim),                                 # out_m
-        pl.BlockSpec((1, n), lambda c, l: (c, 0)),              # out_s
+        pl.BlockSpec((1, 1, n), lambda c, l: (c, 0, 0)),        # out_s
         col_spec(num_idx),                                      # out_logits
     ]
     out_shape = [
         jax.ShapeDtypeStruct((wid, L, n, fdim), cdtype),
         jax.ShapeDtypeStruct((wid, L, n, 2 * fdim), cdtype),
-        jax.ShapeDtypeStruct((wid, n), jnp.int32),
+        jax.ShapeDtypeStruct((wid, 1, n), jnp.int32),
         jax.ShapeDtypeStruct((wid, n, num_idx), f32),
     ]
     scratch = [
@@ -435,7 +455,7 @@ def pixelcnn_sample_rowkernel(
     ]
     row_call = pl.pallas_call(
         kernel,
-        grid=(wid, L),
+        grid=(wid, L // lpg),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -468,6 +488,7 @@ def pixelcnn_sample_rowkernel(
             hup_row.astype(cdtype), e1, gmb,
             emb_cd, logits_w, logits_b, hlw, hlb,
         )
+        s_row = s_row[:, 0]                                  # [wid, n]
         e_row = jnp.take(emb_cd, s_row, axis=0)              # [wid, n, F]
         return (e1, e_row, vprev, vmprev, outh, outm, key), (s_row, l_row)
 
