@@ -401,11 +401,29 @@ def run_eval_sampler():
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((batch, 16, 16), jnp.int32), cond
     )
-    fast = jax.jit(
-        lambda k, c: pixelcnn_sample_fast(
-            model, variables["params"], k, num_samples, conditional_input=c
+    if (
+        jax.default_backend() == "tpu"
+        and os.environ.get("PM_TPU_SAMPLER", "rowkernel") == "rowkernel"
+    ):
+        # same dispatch as the eval path (pm_vqvae_impute): the per-row
+        # Pallas sampler kernel, bf16 (ops/sampler_chain.py)
+        from posterior_matching_tpu.ops.sampler_chain import (
+            pixelcnn_sample_rowkernel,
         )
-    )
+
+        fast = jax.jit(
+            lambda k, c: pixelcnn_sample_rowkernel(
+                model, variables["params"], k, num_samples,
+                conditional_input=c, compute_dtype="bfloat16",
+            )
+        )
+    else:
+        fast = jax.jit(
+            lambda k, c: pixelcnn_sample_fast(
+                model, variables["params"], k, num_samples,
+                conditional_input=c
+            )
+        )
     out = fast(jax.random.PRNGKey(0), cond)  # compile
     int(jnp.sum(out))  # value-fetch sync (see _sync)
     reps = 3
@@ -584,18 +602,36 @@ def _merge_reference_ratio(out, fresh_ref_sps=None):
     best. No jax import here: the parent process must not claim the TPU; the
     records carry their platform, and only accelerator runs are comparable
     to this capture."""
-    if fresh_ref_sps:
-        out["reference_impl_steps_per_sec"] = fresh_ref_sps
-        out["reference_impl_source"] = "same_session"
-        out["vs_reference_impl"] = round(out["value"] / fresh_ref_sps, 4)
-        return
     try:
         with open(_REFERENCE_PATH) as f:
             ref_records = json.load(f)
-        ref_sps = max(
+        banked = max(
             r["value"] for r in ref_records
             if r.get("platform") not in (None, "cpu") and r.get("value")
         )
+    except (OSError, ValueError, KeyError, TypeError, AttributeError):
+        banked = None
+    if fresh_ref_sps:
+        # Same clamp policy as the host baseline: the reference's per-step
+        # host-masking pipeline is dominated by relay dispatch latency and
+        # swings with session weather (measured 19.7 / 18.19 / 5.67 steps/s
+        # on identical code across 2026-08-19/20 sessions). The denominator
+        # is max(live, banked best) so a slow relay day can only UNDERSTATE
+        # the ratio; both raw values are reported.
+        out["reference_impl_live_steps_per_sec"] = fresh_ref_sps
+        if banked is not None and banked > fresh_ref_sps:
+            out["reference_impl_steps_per_sec"] = banked
+            out["reference_impl_source"] = "live_clamped_to_banked_best"
+            out["vs_reference_impl"] = round(out["value"] / banked, 4)
+        else:
+            out["reference_impl_steps_per_sec"] = fresh_ref_sps
+            out["reference_impl_source"] = "same_session"
+            out["vs_reference_impl"] = round(out["value"] / fresh_ref_sps, 4)
+        return
+    try:
+        ref_sps = banked
+        if ref_sps is None:
+            raise ValueError("no banked reference record")
         out["reference_impl_steps_per_sec"] = ref_sps
         out["reference_impl_source"] = "banked_best"
         out["vs_reference_impl"] = round(out["value"] / ref_sps, 4)

@@ -164,6 +164,33 @@ def main(_):
         f.write(embedder + "\n")
 
     f_means, f_stds = np.mean(f_scores, axis=0), np.std(f_scores, axis=0)
+    # Durable eval summary next to the raw arrays (VERDICT r4 item 5: the
+    # headline quality numbers must be re-derivable from in-repo artifacts,
+    # not transcribed logs).
+    import time as _time
+
+    summary = {
+        "dataset": flags.FLAGS.dataset,
+        "num_instances": (
+            int(flags.FLAGS.num_instances)
+            if flags.FLAGS.num_instances is not None else None
+        ),
+        "num_samples": int(num_samples),
+        "num_trials": int(psnrs.shape[0]),
+        "psnr_mean": float(np.mean(per_trial_psnr)),
+        "psnr_std": float(np.std(per_trial_psnr)),
+        "per_trial_psnr": [float(v) for v in per_trial_psnr],
+        "precision": float(f_means[1]),
+        "precision_std": float(f_stds[1]),
+        "recall": float(f_means[0]),
+        "recall_std": float(f_stds[0]),
+        "embedder": embedder,
+        "measured_at": _time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()
+        ),
+    }
+    with open(os.path.join(results_dir, "eval_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
     print("\n****RESULTS****")
     print(f"PSNR: {np.mean(per_trial_psnr).item()} ± {np.std(per_trial_psnr).item()}")
     print(f"Precision: {f_means[1]} ± {f_stds[1]}  [embedder: {embedder}]")

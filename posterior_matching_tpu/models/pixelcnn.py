@@ -329,7 +329,10 @@ class PixelCNN(nn.Module):
             keep=keep,
             compute_dtype=self._cdtype or jnp.float32,
             bc_fwd=int(os.environ.get("PM_TPU_CHAIN_BC_FWD", "4")),
-            bc_bwd=int(os.environ.get("PM_TPU_CHAIN_BC_BWD", "2")),
+            # bwd chunk 4 over 2: +1.3% end-to-end on the packed flagship
+            # step (87.9 vs 86.7 steps/s, same-session A/B 2026-08-20);
+            # the round-3 (4,2) sweep predates the packed/stream path
+            bc_bwd=int(os.environ.get("PM_TPU_CHAIN_BC_BWD", "4")),
             mask_mode=mask_mode,
             interpret=interpret,
             receptive_field_dims=self.receptive_field_dims,

@@ -143,12 +143,39 @@ def pm_vqvae_impute(
         and tuple(pc_kwargs.get("receptive_field_dims", (3, 3))) == (3, 3)
     ):
         # incrementally-cached raster sampler: O(1) network work per pixel
-        # instead of a full-grid forward (see models/pixelcnn_fast.py)
+        # instead of a full-grid forward (see models/pixelcnn_fast.py).
+        # PM_TPU_SAMPLER=rowkernel selects the per-row Pallas kernel
+        # sampler (ops/sampler_chain.py, measured 1.74x the cached sampler
+        # standalone at eval shapes; same noise sequence, distributional
+        # equivalence pinned in tests/test_sampler_chain.py). It is OPT-IN
+        # here rather than the default because inlining the kernels into
+        # the full imputation program pushed the serialized program past
+        # the axon remote-compile service's request-size cap (HTTP 413,
+        # observed 2026-08-20) — an environment limit, not a kernel one;
+        # on a directly-attached TPU flip the default.
+        import os
+
         pc = PixelCNN(**pc_kwargs)
-        samples = pixelcnn_sample_fast(
-            pc, variables["params"]["pixel_cnn"], key, num_samples,
-            conditional_input=cond,
-        )
+        if (
+            jax.default_backend() == "tpu"
+            and os.environ.get("PM_TPU_SAMPLER", "fast") == "rowkernel"
+        ):
+            from posterior_matching_tpu.ops.sampler_chain import (
+                pixelcnn_sample_rowkernel,
+            )
+
+            samples = pixelcnn_sample_rowkernel(
+                pc, variables["params"]["pixel_cnn"], key, num_samples,
+                conditional_input=cond,
+                compute_dtype=os.environ.get(
+                    "PM_TPU_SAMPLER_DTYPE", "bfloat16"
+                ),
+            )
+        else:
+            samples = pixelcnn_sample_fast(
+                pc, variables["params"]["pixel_cnn"], key, num_samples,
+                conditional_input=cond,
+            )
     else:
         # Every shipped reference config qualifies for the fast path; a
         # custom topology silently landing here would pay a measured ~77x

@@ -95,7 +95,124 @@ def _fuse_level(bp, f):
     return wa, ba, wb, bias_b
 
 
-def _row_kernel_factory(L, R, n, f, num_idx, cdtype, lpg):
+def _cshift(x, dx, n_, wid):
+    """Column shift on wid-major flat rows [wid*n, c]: out row (c_, j) holds
+    ``x[(c_ + dx)*n + j]``, zero outside [0, wid).  pltpu.roll is 32-bit
+    only; callers pass f32."""
+    if dx == 0:
+        return x
+    s = (-(dx * n_)) % x.shape[0]
+    xs = pltpu.roll(x, s, 0) if s else x
+    ci = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0) // n_
+    valid = (ci + dx >= 0) & (ci + dx < wid)
+    return jnp.where(valid, xs, jnp.zeros_like(xs))
+
+
+def _shift3(x, n_, wid, cdtype):
+    """[roll(-1), x, roll(+1)] concat along features — the three dx taps of
+    a vertical conv as ONE wide-K matmul operand."""
+    return jnp.concatenate(
+        [
+            _cshift(x, -1, n_, wid).astype(cdtype),
+            x.astype(cdtype),
+            _cshift(x, 1, n_, wid).astype(cdtype),
+        ],
+        axis=-1,
+    )
+
+
+def _vrow_kernel_factory(L, R, n, wid, f, cdtype):
+    """Vertical-stack kernel for one image row: grid (L,), one gated
+    vertical level per step with its weights streamed; v_init/h_init_up at
+    l == 0.  Rows are wid-major flat [wid*n, .] so column shifts are
+    sublane rolls (ops/block_chain.py::_shifted technique).  Replaces the
+    XLA row_pass, whose ~13 small launch-bound matmuls per level measured
+    ~40 ms/batch of the sampler's 85 ms (device trace 2026-08-20)."""
+    rows = wid * n
+
+    def kernel(
+        e2_ref, e1_ref, pv0_ref, pv_ref, pm_ref, cpv_ref,
+        viw, vib, huw, hub, wav, bav, wbv, bbv, waux,
+        outv_ref, outm_ref, v0_ref, hup_ref,
+        carry, vstack,
+    ):
+        l = pl.program_id(0)
+
+        @pl.when(l == 0)
+        def _init():
+            e2 = e2_ref[:].astype(f32)
+            e1 = e1_ref[:].astype(f32)
+            a0 = jnp.concatenate(
+                [_shift3(e2, n, wid, cdtype), _shift3(e1, n, wid, cdtype)],
+                axis=-1,
+            )
+            v0 = jnp.dot(
+                a0, viw[:, :], preferred_element_type=f32
+            ) + vib[0].astype(f32)
+            hup = jnp.dot(
+                _shift3(e1, n, wid, cdtype), huw[:, :],
+                preferred_element_type=f32,
+            ) + hub[0].astype(f32)
+            v0_ref[:] = v0.astype(v0_ref.dtype)
+            hup_ref[:] = hup.astype(hup_ref.dtype)
+            carry[:, :] = v0
+            vstack[pl.ds(0, 1)] = v0[None].astype(vstack.dtype)
+
+        in_cur = carry[:, :]
+        in_prev = jnp.where(
+            l == 0, pv0_ref[:].astype(f32), pv_ref[0].astype(f32)
+        )
+        a_in = jnp.concatenate(
+            [
+                _shift3(_concat_elu(in_prev), n, wid, cdtype),
+                _shift3(_concat_elu(in_cur), n, wid, cdtype),
+            ],
+            axis=-1,
+        )                                                     # [rows, 12F]
+        a = jnp.dot(
+            a_in, wav[0], preferred_element_type=f32
+        ) + bav[0, 0].astype(f32)
+        # aux cue (down levels: skip = this row's V_{2R-1-l}); up levels
+        # carry zero aux weights, but the stale vstack read must be masked
+        # (0 * NaN would poison the matmul)
+        sk_idx = jnp.maximum(2 * R - 1 - l, 0)
+        sk_raw = vstack[pl.ds(sk_idx, 1), :, :][0].astype(f32)
+        sk = jnp.where(l >= R, sk_raw, 0.0)
+        a = a + jnp.dot(
+            _concat_elu(sk).astype(cdtype), waux[0],
+            preferred_element_type=f32,
+        )
+        m = _concat_elu(a)                                    # [rows, 2F]
+        m_prev = pm_ref[0].astype(f32)
+        b_in = jnp.concatenate(
+            [
+                _shift3(m_prev, n, wid, cdtype),
+                _shift3(m, n, wid, cdtype),
+            ],
+            axis=-1,
+        )                                                     # [rows, 12F]
+        cp = jax.lax.broadcast_in_dim(
+            cpv_ref[0].astype(f32), (wid, n, 2 * f), (1, 2)
+        ).reshape(rows, 2 * f)
+        b = jnp.dot(
+            b_in, wbv[0], preferred_element_type=f32
+        ) + bbv[0, 0].astype(f32) + cp
+        act = b[:, :f]
+        gate = b[:, f:]
+        out = in_cur + jax.nn.sigmoid(gate) * act
+
+        outv_ref[0] = out.astype(outv_ref.dtype)
+        outm_ref[0] = m.astype(outm_ref.dtype)
+        carry[:, :] = out
+
+        @pl.when(l + 1 <= R)
+        def _push():
+            vstack[pl.ds(l + 1, 1)] = out[None].astype(vstack.dtype)
+
+    return kernel
+
+
+def _row_kernel_factory(L, R, n, f, num_idx, cdtype, lpg, with_logits):
     """Kernel for grid (wid, L // lpg): pixel index c slow, level-group
     fast.  ``lpg`` gated levels run inside one grid step (the per-grid-step
     overhead at lpg=1 dominated the measured on-chip time: 6144 steps/batch
@@ -106,9 +223,12 @@ def _row_kernel_factory(L, R, n, f, num_idx, cdtype, lpg):
         ha_ref, hb_ref, ma_ref, mb_ref, aux_ref,
         hup_ref, h0p_ref, gmb_ref,
         emb_ref, lw_ref, lb_ref, hlw_ref, hlb_ref,
-        outh_ref, outm_ref, outs_ref, outl_ref,
-        stack, mstack, chain, h0cur,
+        *tail_refs,
     ):
+        it = iter(tail_refs)
+        outh_ref, outm_ref, outs_ref = next(it), next(it), next(it)
+        outl_ref = next(it) if with_logits else None
+        stack, mstack, chain, h0cur = (next(it) for _ in range(4))
         c = pl.program_id(0)
         l = pl.program_id(1)
         at_edge = c == 0
@@ -144,13 +264,13 @@ def _row_kernel_factory(L, R, n, f, num_idx, cdtype, lpg):
             # plus — down levels only — the skip tensor (this pixel's
             # value at level 2R-1-lvl, overwritten earlier this pixel)
             is_down = lvl >= R
-            aux_p = aux_ref[0, r].astype(f32)
+            aux_p = aux_ref[r, 0].astype(f32)
             sk_idx = jnp.where(is_down, 2 * R - 1 - lvl, 0)
             sk = stack[pl.ds(sk_idx, 1), :, :][0].astype(f32)
             aux_q = jnp.where(is_down, sk, 0.0)
 
-            tap_aa = jnp.where(at_edge, 0.0, ha_ref[0, r].astype(f32))
-            tap_ab = hb_ref[0, r].astype(f32)
+            tap_aa = jnp.where(at_edge, 0.0, ha_ref[r, 0].astype(f32))
+            tap_ab = hb_ref[r, 0].astype(f32)
 
             # _elu/_concat_elu from gated_block: Mosaic lacks expm1
             a_in = jnp.concatenate(
@@ -166,8 +286,8 @@ def _row_kernel_factory(L, R, n, f, num_idx, cdtype, lpg):
             ) + ba_ref[r, 0].astype(f32)
             m = _concat_elu(a)                                # [n, 2F]
 
-            tap_ba = jnp.where(at_edge, 0.0, ma_ref[0, r].astype(f32))
-            tap_bb = mb_ref[0, r].astype(f32)
+            tap_ba = jnp.where(at_edge, 0.0, ma_ref[r, 0].astype(f32))
+            tap_bb = mb_ref[r, 0].astype(f32)
             b_in = jnp.concatenate(
                 [tap_ba, tap_bb, old_m, m], axis=-1
             )                                                 # [n, 8F]
@@ -179,8 +299,8 @@ def _row_kernel_factory(L, R, n, f, num_idx, cdtype, lpg):
             out = xin + jax.nn.sigmoid(gate) * act
 
             mstack[pl.ds(lvl, 1), :, :] = m[None].astype(mstack.dtype)
-            outh_ref[0, r] = xin.astype(outh_ref.dtype)
-            outm_ref[0, r] = m.astype(outm_ref.dtype)
+            outh_ref[r, 0] = xin.astype(outh_ref.dtype)
+            outm_ref[r, 0] = m.astype(outm_ref.dtype)
             xin = out
 
         chain[:, :] = xin.astype(chain.dtype)
@@ -196,7 +316,8 @@ def _row_kernel_factory(L, R, n, f, num_idx, cdtype, lpg):
                 logits + gmb_ref[0].astype(f32), axis=-1
             ).astype(jnp.int32)
             outs_ref[0, 0] = y
-            outl_ref[0] = logits
+            if with_logits:
+                outl_ref[0] = logits
             onehot = (
                 jax.lax.broadcasted_iota(jnp.int32, (n, num_idx), 1)
                 == y[:, None]
@@ -378,8 +499,117 @@ def pixelcnn_sample_rowkernel(
         hup_row = row_conv(hup, {-1: e1})
         new_vprev = jnp.stack(v_rows + w_rows[1:])
         new_vmprev = jnp.stack(m_rows)
-        aux_rows = jnp.stack(v_rows[1:] + w_rows[1:], axis=1)  # [wid,L,n,F]
+        aux_rows = jnp.stack(v_rows[1:] + w_rows[1:], axis=0)  # [L,wid,n,F]
         return aux_rows, hup_row, new_vprev, new_vmprev
+
+    # ---- vertical-stack kernel (replaces row_pass; PM_TPU_SAMPLER_VKERNEL=0
+    # falls back to the XLA row pass) ---------------------------------------
+    vkernel = os.environ.get("PM_TPU_SAMPLER_VKERNEL", "1") != "0"
+    # bulk Gumbel bits from the hardware rbg generator on TPU
+    # (threefry bulk-bit generation is pure VPU ALU work — the measured
+    # dropout finding, BASELINE.md); per-pixel threefry retained off-TPU
+    # so the same-noise parity tests stay exact
+    use_rbg = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("PM_TPU_SAMPLER_RNG", "rbg") == "rbg"
+    )
+    rows_flat = wid * n
+
+    def _vtap_stack(taps_bias, order):
+        taps, bias = taps_bias
+        tapmap = {(dy, dx): w for dy, dx, w in taps}
+        wst = jnp.concatenate([tapmap[o] for o in order], axis=0)
+        return wst, jnp.reshape(bias, (1, -1))
+
+    _VI_ORDER = [(-2, -1), (-2, 0), (-2, 1), (-1, -1), (-1, 0), (-1, 1)]
+    _VG_ORDER = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1)]
+    _HU_ORDER = [(-1, -1), (-1, 0), (-1, 1)]
+
+    if vkernel:
+        viw, vib = _vtap_stack(vinit, _VI_ORDER)
+        huw, hub = _vtap_stack(hup, _HU_ORDER)
+        wav_l, bav_l, wbv_l, bbv_l, waux_l = [], [], [], [], []
+        for idx_l, bp in enumerate(up_v + dn_v):
+            wa_, ba_ = _vtap_stack(bp["a"], _VG_ORDER)
+            wb_, bb_ = _vtap_stack(bp["b"], _VG_ORDER)
+            if bp["aux"] is not None and idx_l >= n_res:
+                waux_l.append(bp["aux"]["kernel"].astype(cdtype))
+                ba_ = ba_ + bp["aux"]["bias"].reshape(1, -1)
+            else:
+                waux_l.append(jnp.zeros((2 * fdim, fdim), cdtype))
+            wav_l.append(wa_)
+            bav_l.append(ba_)
+            wbv_l.append(wb_)
+            bbv_l.append(bb_)
+        wav_s = jnp.stack(wav_l)                          # [L, 12F, F]
+        bav_s = jnp.stack(bav_l).astype(f32)              # [L, 1, F]
+        wbv_s = jnp.stack(wbv_l)                          # [L, 12F, 2F]
+        bbv_s = jnp.stack(bbv_l).astype(f32)              # [L, 1, 2F]
+        waux_s = jnp.stack(waux_l)                        # [L, 2F, F]
+        cpv_s = jnp.stack(cp_upv + cp_dnv).astype(cdtype)  # [L, n, 2F]
+
+        vkern = _vrow_kernel_factory(L, n_res, n, wid, fdim, cdtype)
+
+        def vfull(shape):
+            nd = len(shape)
+            return pl.BlockSpec(shape, lambda l, _n=nd: (0,) * _n)
+
+        vrow_call = pl.pallas_call(
+            vkern,
+            grid=(L,),
+            in_specs=[
+                vfull((rows_flat, fdim)),                 # e2
+                vfull((rows_flat, fdim)),                 # e1
+                vfull((rows_flat, fdim)),                 # prev v0
+                pl.BlockSpec(
+                    (1, rows_flat, fdim),
+                    lambda l: (jnp.maximum(l - 1, 0), 0, 0),
+                ),                                        # prev outv
+                pl.BlockSpec(
+                    (1, rows_flat, 2 * fdim), lambda l: (l, 0, 0)
+                ),                                        # prev outm
+                pl.BlockSpec((1, n, 2 * fdim), lambda l: (l, 0, 0)),  # cpv
+                vfull((6 * fdim, fdim)),                  # viw
+                vfull((1, fdim)),                         # vib
+                vfull((3 * fdim, fdim)),                  # huw
+                vfull((1, fdim)),                         # hub
+                pl.BlockSpec(
+                    (1, 12 * fdim, fdim), lambda l: (l, 0, 0)
+                ),                                        # wav
+                pl.BlockSpec((1, 1, fdim), lambda l: (l, 0, 0)),      # bav
+                pl.BlockSpec(
+                    (1, 12 * fdim, 2 * fdim), lambda l: (l, 0, 0)
+                ),                                        # wbv
+                pl.BlockSpec((1, 1, 2 * fdim), lambda l: (l, 0, 0)),  # bbv
+                pl.BlockSpec(
+                    (1, 2 * fdim, fdim), lambda l: (l, 0, 0)
+                ),                                        # waux
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, rows_flat, fdim), lambda l: (l, 0, 0)
+                ),                                        # outv
+                pl.BlockSpec(
+                    (1, rows_flat, 2 * fdim), lambda l: (l, 0, 0)
+                ),                                        # outm
+                vfull((rows_flat, fdim)),                 # v0
+                vfull((rows_flat, fdim)),                 # hup
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((L, rows_flat, fdim), cdtype),
+                jax.ShapeDtypeStruct((L, rows_flat, 2 * fdim), cdtype),
+                jax.ShapeDtypeStruct((rows_flat, fdim), cdtype),
+                jax.ShapeDtypeStruct((rows_flat, fdim), cdtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((rows_flat, fdim), f32),            # carry
+                pltpu.VMEM((n_res + 1, rows_flat, fdim), cdtype),  # vstack
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20
+            ),
+        )
 
     # ---- per-row kernel ---------------------------------------------------
     # levels per grid step: amortizes Mosaic's per-grid-step overhead
@@ -387,7 +617,9 @@ def pixelcnn_sample_rowkernel(
     lpg = int(os.environ.get("PM_TPU_SAMPLER_LPG", "4"))
     while L % lpg:
         lpg -= 1
-    kernel = _row_kernel_factory(L, n_res, n, fdim, num_idx, cdtype, lpg)
+    kernel = _row_kernel_factory(
+        L, n_res, n, fdim, num_idx, cdtype, lpg, return_logits
+    )
 
     def lvl_spec(rows, cols):
         return pl.BlockSpec((lpg, rows, cols), lambda c, l: (l, 0, 0))
@@ -396,13 +628,15 @@ def pixelcnn_sample_rowkernel(
         return pl.BlockSpec((lpg, 1, cols), lambda c, l: (l, 0, 0))
 
     def colm1_lvl_spec(cols):
+        # level-leading [L, wid, n, cols] arrays: the vertical kernel's
+        # outputs feed these streams with zero transposes
         return pl.BlockSpec(
-            (1, lpg, n, cols),
-            lambda c, l: (jnp.maximum(c - 1, 0), l, 0, 0),
+            (lpg, 1, n, cols),
+            lambda c, l: (l, jnp.maximum(c - 1, 0), 0, 0),
         )
 
     def col_lvl_spec(cols):
-        return pl.BlockSpec((1, lpg, n, cols), lambda c, l: (c, l, 0, 0))
+        return pl.BlockSpec((lpg, 1, n, cols), lambda c, l: (l, c, 0, 0))
 
     def col_spec(cols, minus1=False):
         if minus1:
@@ -439,14 +673,17 @@ def pixelcnn_sample_rowkernel(
         col_lvl_spec(fdim),                                     # out_h
         col_lvl_spec(2 * fdim),                                 # out_m
         pl.BlockSpec((1, 1, n), lambda c, l: (c, 0, 0)),        # out_s
-        col_spec(num_idx),                                      # out_logits
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((wid, L, n, fdim), cdtype),
-        jax.ShapeDtypeStruct((wid, L, n, 2 * fdim), cdtype),
+        jax.ShapeDtypeStruct((L, wid, n, fdim), cdtype),
+        jax.ShapeDtypeStruct((L, wid, n, 2 * fdim), cdtype),
         jax.ShapeDtypeStruct((wid, 1, n), jnp.int32),
-        jax.ShapeDtypeStruct((wid, n, num_idx), f32),
     ]
+    if return_logits:
+        out_specs.append(col_spec(num_idx))                     # out_logits
+        out_shape.append(
+            jax.ShapeDtypeStruct((wid, n, num_idx), f32)
+        )
     scratch = [
         pltpu.VMEM((L, n, fdim), cdtype),        # stack
         pltpu.VMEM((L, n, 2 * fdim), cdtype),    # mstack
@@ -467,43 +704,82 @@ def pixelcnn_sample_rowkernel(
     )
 
     def row_body(carry, row_noise):
-        e2, e1, vprev, vmprev, prevh, prevm, key = carry
-        aux_rows, hup_row, vprev, vmprev = row_pass(e2, e1, vprev, vmprev)
+        e2, e1, vstate, prevh, prevm, key = carry
+        if vkernel:
+            pv0, pv, pmv = vstate
+            outv, outm_v, v0, hup_flat = vrow_call(
+                e2.reshape(rows_flat, fdim), e1.reshape(rows_flat, fdim),
+                pv0, pv, pmv, cpv_s,
+                viw.astype(cdtype), vib.astype(f32),
+                huw.astype(cdtype), hub.astype(f32),
+                wav_s.astype(cdtype), bav_s, wbv_s.astype(cdtype), bbv_s,
+                waux_s,
+            )
+            vstate = (v0, outv, outm_v)
+            aux_rows = outv.reshape(L, wid, n, fdim)
+            hup_row = hup_flat.reshape(wid, n, fdim)
+        else:
+            vprev, vmprev = vstate
+            aux_rows, hup_row, vprev, vmprev = row_pass(
+                e2, e1, vprev, vmprev
+            )
+            vstate = (vprev, vmprev)
+            aux_rows = aux_rows.astype(cdtype)
+            hup_row = hup_row.astype(cdtype)
 
         if row_noise is None:
-            def kbody(k, _):
-                k, sub = jax.random.split(k)
-                return k, sub
+            if use_rbg:
+                from posterior_matching_tpu.utils import fast_bits_key
 
-            key, subs = jax.lax.scan(kbody, key, None, length=wid)
-            gmb = jax.vmap(
-                lambda kk: jax.random.gumbel(kk, (n, num_idx), f32)
-            )(subs)
+                key, sub = jax.random.split(key)
+                gmb = jax.random.gumbel(
+                    fast_bits_key(sub), (wid, n, num_idx), f32
+                )
+            else:
+                def kbody(k, _):
+                    k, sub = jax.random.split(k)
+                    return k, sub
+
+                key, subs = jax.lax.scan(kbody, key, None, length=wid)
+                gmb = jax.vmap(
+                    lambda kk: jax.random.gumbel(kk, (n, num_idx), f32)
+                )(subs)
         else:
             gmb = row_noise
 
-        outh, outm, s_row, l_row = row_call(
+        outs = row_call(
             wa_s, ba_s, wb_s, bb_s, cp_h.astype(cdtype),
-            prevh, prevh, prevm, prevm, aux_rows.astype(cdtype),
-            hup_row.astype(cdtype), e1, gmb,
+            prevh, prevh, prevm, prevm, aux_rows,
+            hup_row, e1, gmb,
             emb_cd, logits_w, logits_b, hlw, hlb,
         )
+        outh, outm, s_row = outs[:3]
         s_row = s_row[:, 0]                                  # [wid, n]
         e_row = jnp.take(emb_cd, s_row, axis=0)              # [wid, n, F]
-        return (e1, e_row, vprev, vmprev, outh, outm, key), (s_row, l_row)
+        ys = (s_row, outs[3]) if return_logits else s_row
+        return (e1, e_row, vstate, outh, outm, key), ys
 
+    if vkernel:
+        vstate0 = (
+            jnp.zeros((rows_flat, fdim), cdtype),            # prev v0
+            jnp.zeros((L, rows_flat, fdim), cdtype),         # prev outv
+            jnp.zeros((L, rows_flat, 2 * fdim), cdtype),     # prev outm
+        )
+    else:
+        vstate0 = (
+            jnp.zeros((KV, wid, n, fdim), f32),              # vprev
+            jnp.zeros((L, wid, n, 2 * fdim), f32),           # vmprev
+        )
     init = (
         jnp.zeros((wid, n, fdim), cdtype),                   # e_{-2}
         jnp.zeros((wid, n, fdim), cdtype),                   # e_{-1}
-        jnp.zeros((KV, wid, n, fdim), f32),                  # vprev
-        jnp.zeros((L, wid, n, 2 * fdim), f32),               # vmprev
-        jnp.zeros((wid, L, n, fdim), cdtype),                # prevh
-        jnp.zeros((wid, L, n, 2 * fdim), cdtype),            # prevm
+        vstate0,
+        jnp.zeros((L, wid, n, fdim), cdtype),                # prevh
+        jnp.zeros((L, wid, n, 2 * fdim), cdtype),            # prevm
         key,
     )
-    _, (samples, logits) = jax.lax.scan(
-        row_body, init, noise, length=hgt
-    )
+    _, ys = jax.lax.scan(row_body, init, noise, length=hgt)
+    samples, logits = ys if return_logits else (ys, None)
     samples = jnp.transpose(samples, (2, 0, 1))              # [n, H, W]
     if bsz is not None:
         samples = samples.reshape((num_samples, bsz, hgt, wid))
