@@ -620,9 +620,13 @@ class Decoder(nn.Module):
     num_mixtures: int
     custom_width_string: Optional[str] = None
     compute_dtype: Optional[str] = None
-    # Decoder block-run fusion (ops/decoder_chain.py): None = auto (TPU
-    # on, opt-out PM_TPU_FUSED_CHAIN=0), False = off, "interpret" =
-    # interpret-mode kernels (CPU tests) — mirrors Encoder.fused_chain
+    # Decoder block-run fusion (ops/decoder_chain.py): None = auto, which
+    # is OPT-IN via PM_TPU_FUSED_DECODER=1 on TPU — unlike the encoder
+    # chains, the decoder kernels measured NEUTRAL end-to-end at their
+    # current chunk tuning (32.6 vs 33.8 steps/s pm_vdvae_mnist bf16,
+    # 2026-08-20; the per-grid-step [784, 384]x[384, 48]-class matmuls at
+    # bc=1 underfill the MXU), so the measured-winner rule keeps the
+    # unfused decoder the default. True/"interpret" force it (tests).
     fused_chain: Optional[Any] = None
 
     def _fused_mode(self):
@@ -633,6 +637,7 @@ class Decoder(nn.Module):
             mode = (
                 jax.default_backend() == "tpu"
                 and os.environ.get("PM_TPU_FUSED_CHAIN") != "0"
+                and os.environ.get("PM_TPU_FUSED_DECODER") == "1"
             )
         return mode
 
